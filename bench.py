@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: inference points/sec/chip at the reference's production config
+(N=7000 points per 30 m block, k=30, F=4 features, 5 classes; BASELINE.json
+configs[1], /root/reference/test.py:281-311). ``vs_baseline`` is the speedup
+over the PyTorch-CPU reference implementation measured on this host (the
+reference pins a CPU-only torch build — requirements.txt `cpuonly`), cached
+in ``bench_baseline.json`` after first measurement.
+
+Run on the TPU chip (default env). Extra diagnostics go to stderr; stdout
+carries exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_baseline.json")
+
+B, N, K, F, C, EMB = 8, 7000, 30, 4, 5, 1024
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _roundtrip_s() -> float:
+    """Host<->device round-trip latency (large on tunnelled devices) —
+    subtracted from per-iteration sync timings."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def trivial(a):
+        return jnp.sum(a)
+
+    a = jnp.ones((8, 128))
+    float(trivial(a))
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        float(trivial(a))
+    return (time.perf_counter() - t0) / n
+
+
+def bench_jax() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from dgcnn_tpu.models.dgcnn import DGCNNConfig, apply_dgcnn, init_dgcnn
+
+    rt = _roundtrip_s()
+    log(f"host<->device round-trip: {rt*1e3:.1f} ms (subtracted)")
+    results = {}
+    for tag, compute_dtype in (("f32", None), ("bf16", "bfloat16")):
+        cfg = DGCNNConfig(num_classes=C, num_features=F, k=K, emb_dims=EMB,
+                          compute_dtype=compute_dtype)
+        params, state = init_dgcnn(jax.random.key(0), cfg)
+        x = jax.random.normal(jax.random.key(1), (B, N, F), jnp.float32)
+
+        # reduce the output on device so each timed step syncs on one scalar;
+        # naive block_until_ready can return before remote work drains on
+        # tunnelled platforms (observed: 0.04 ms/batch "timings")
+        @jax.jit
+        def fwd(params, state, x):
+            return jnp.sum(apply_dgcnn(params, state, x, cfg, train=False)[0])
+
+        t0 = time.perf_counter()
+        float(fwd(params, state, x))
+        compile_s = time.perf_counter() - t0
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            float(fwd(params, state, x))
+        dt = max((time.perf_counter() - t0) / iters - rt, 1e-9)
+        pps = B * N / dt
+        results[tag] = {"sec_per_batch": dt, "points_per_sec": pps,
+                        "compile_s": compile_s}
+        log(f"jax {tag}: {dt*1e3:.2f} ms/batch (B={B},N={N}) "
+            f"= {pps:,.0f} pts/s (compile {compile_s:.1f}s) "
+            f"on {jax.devices()[0].platform}")
+    return results
+
+
+def measure_torch_baseline() -> float | None:
+    """Reference PyTorch-CPU points/sec at the same config (B=1, scaled)."""
+    try:
+        import torch
+
+        sys.path.insert(0, "/root/reference")
+        import model as ref_model  # noqa: F401  (/root/reference/model.py)
+
+        orig = ref_model.get_graph_feature
+
+        def patched(x, k=20, use_cuda=True, **_):
+            return orig(x, k=k, use_cuda=use_cuda)
+
+        ref_model.get_graph_feature = patched
+        torch.manual_seed(0)
+        m = ref_model.DGCNN(num_classes=C, num_features=F, k=K,
+                            dropout=0.5, emb_dims=EMB, cuda=False)
+        m.eval()
+        x = torch.randn(1, F, N)
+        with torch.no_grad():
+            m(x)  # warmup
+            iters = 3
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                m(x)
+            dt = (time.perf_counter() - t0) / iters
+        pps = N / dt
+        log(f"torch-cpu reference: {dt*1e3:.1f} ms/block = {pps:,.0f} pts/s")
+        return pps
+    except Exception as e:  # reference or torch unavailable
+        log(f"torch baseline unavailable: {type(e).__name__}: {e}")
+        return None
+
+
+def get_baseline() -> float | None:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_points_per_sec"]
+    pps = measure_torch_baseline()
+    if pps is not None:
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"torch_cpu_points_per_sec": pps,
+                       "config": {"B": 1, "N": N, "k": K, "F": F, "C": C}},
+                      f, indent=1)
+    return pps
+
+
+def main():
+    results = bench_jax()
+    baseline = get_baseline()
+    best_tag = max(results, key=lambda t: results[t]["points_per_sec"])
+    value = results[best_tag]["points_per_sec"]
+    out = {
+        "metric": f"points_per_sec_chip_infer_N{N}_k{K} ({best_tag})",
+        "value": round(value, 1),
+        "unit": "points/s",
+        "vs_baseline": round(value / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,351 @@
+"""DGCNN (Dynamic Graph CNN / EdgeConv) semantic-segmentation model.
+
+Re-design of /root/reference/model.py:85-193 as a pure-functional JAX model:
+
+* channels-last (B, N, C) layout everywhere (points on sublanes, channels on
+  lanes — every 1×1 conv is a plain (N, C)×(C, C') MXU matmul);
+* parameters and BatchNorm running statistics are explicit pytrees; ``apply``
+  is pure and returns updated statistics in training mode;
+* the first conv of every EdgeConv stage uses the linear decomposition in
+  :mod:`dgcnn_tpu.ops.edgeconv`, so the (B, 2C, N, k) edge tensor of the
+  reference is never built;
+* stage 3 (single conv before the neighbour max, /root/reference/
+  model.py:161-163) additionally folds the max-over-k *through* BN+LeakyReLU
+  in eval mode via the per-channel monotonicity trick
+  (:func:`dgcnn_tpu.ops.edgeconv.edge_conv_linear_extrema`).
+
+Channel plan (identical to /root/reference/model.py:116-141):
+    conv1 2F→64, conv2 64→64 | conv3 128→64, conv4 64→64 | conv5 128→64 |
+    conv6 192→emb | conv7 emb+192→512, conv8 512→256, dropout, conv9 256→C.
+All convs bias-free, each (except conv9) followed by BatchNorm(eps=1e-5,
+momentum=0.1 — torch defaults) and LeakyReLU(0.2).
+
+The reference ``forward(x, depth)`` intermediate-feature taps
+(/root/reference/model.py:151-189, used by the t-SNE visualiser) are kept,
+returning channels-last tensors. The reference's ``dim9=True`` crash at
+model.py:147 is intended-semantics-fixed (the kwarg is simply dropped).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from dgcnn_tpu.ops.edgeconv import (
+    edge_conv_linear,
+    edge_conv_linear_extrema,
+)
+from dgcnn_tpu.ops.knn import knn
+
+Params = dict[str, Any]
+BNState = dict[str, Any]
+
+_BN_EPS = 1e-5
+_BN_MOMENTUM = 0.1
+_LRELU_SLOPE = 0.2
+
+
+@dataclasses.dataclass(frozen=True)
+class DGCNNConfig:
+    """Static model configuration (hashable — usable as a jit static arg).
+
+    Mirrors the reference constructor signature
+    ``DGCNN(num_classes, num_features, k, dropout, emb_dims)``
+    (/root/reference/model.py:88-104).
+    """
+
+    num_classes: int = 5
+    num_features: int = 4
+    k: int = 30
+    dropout: float = 0.5
+    emb_dims: int = 1024
+    # TPU knobs (no reference equivalent):
+    knn_query_chunk: int | None = 1024   # query rows per kNN scan step
+    compute_dtype: str | None = None     # e.g. "bfloat16" for matmul inputs
+    knn_impl: str = "xla"                # "xla" | "pallas"
+
+    @property
+    def _cdtype(self):
+        return None if self.compute_dtype is None else jnp.dtype(self.compute_dtype)
+
+
+def _conv_init(key: jax.Array, c_in: int, c_out: int) -> jax.Array:
+    """torch Conv default init: kaiming_uniform(a=sqrt(5)) on a 1×1 kernel
+    reduces to U(-1/sqrt(c_in), 1/sqrt(c_in))."""
+    bound = 1.0 / math.sqrt(c_in)
+    return jax.random.uniform(key, (c_in, c_out), jnp.float32, -bound, bound)
+
+
+def init_dgcnn(key: jax.Array, cfg: DGCNNConfig) -> tuple[Params, BNState]:
+    """Initialise parameters and BatchNorm running statistics."""
+    f, emb, c = cfg.num_features, cfg.emb_dims, cfg.num_classes
+    plan = {
+        "conv1": (2 * f, 64),
+        "conv2": (64, 64),
+        "conv3": (128, 64),
+        "conv4": (64, 64),
+        "conv5": (128, 64),
+        "conv6": (192, emb),
+        "conv7": (emb + 192, 512),
+        "conv8": (512, 256),
+        "conv9": (256, c),
+    }
+    keys = jax.random.split(key, len(plan))
+    params: Params = {}
+    state: BNState = {}
+    for (name, (ci, co)), k_ in zip(plan.items(), keys):
+        params[name] = {"w": _conv_init(k_, ci, co)}
+        if name != "conv9":
+            bn = name.replace("conv", "bn")
+            params[bn] = {
+                "gamma": jnp.ones((co,), jnp.float32),
+                "beta": jnp.zeros((co,), jnp.float32),
+            }
+            state[bn] = {
+                "mean": jnp.zeros((co,), jnp.float32),
+                "var": jnp.ones((co,), jnp.float32),
+            }
+    return params, state
+
+
+def _batch_norm(
+    x: jax.Array,
+    p: Params,
+    s: BNState,
+    *,
+    train: bool,
+) -> tuple[jax.Array, BNState]:
+    """BatchNorm over all leading axes (channel = last axis), torch semantics:
+    normalisation uses biased batch variance, the running-var update uses the
+    unbiased one; running = (1-m)*running + m*batch."""
+    if train:
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.mean(jnp.square(x - mean), axis=axes)
+        count = x.size // x.shape[-1]
+        unbiased = var * (count / max(count - 1, 1))
+        new_s = {
+            "mean": (1 - _BN_MOMENTUM) * s["mean"] + _BN_MOMENTUM * mean,
+            "var": (1 - _BN_MOMENTUM) * s["var"] + _BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        new_s = s
+    inv = jax.lax.rsqrt(var + _BN_EPS)
+    y = (x - mean) * (inv * p["gamma"]) + p["beta"]
+    return y, new_s
+
+
+def _lrelu(x: jax.Array) -> jax.Array:
+    return jnp.where(x >= 0, x, _LRELU_SLOPE * x)
+
+
+def _mm(x: jax.Array, w: jax.Array, cdtype) -> jax.Array:
+    """Pointwise (1×1) conv as a channels-last matmul."""
+    if cdtype is not None:
+        x, w = x.astype(cdtype), w.astype(cdtype)
+    return jnp.einsum("...c,cd->...d", x, w, preferred_element_type=jnp.float32)
+
+
+def _knn(x: jax.Array, cfg: DGCNNConfig) -> jax.Array:
+    if cfg.knn_impl == "pallas":
+        from dgcnn_tpu.kernels.knn_pallas import knn_pallas
+
+        return knn_pallas(x, cfg.k)
+    return knn(x, cfg.k, query_chunk=cfg.knn_query_chunk)
+
+
+def _edge_stage_two_conv(
+    x, cfg, params, state, names, *, train
+) -> tuple[jax.Array, BNState]:
+    """EdgeConv stage with two convs (stages 1 and 2): decomposed first conv,
+    BN+LReLU, k-expanded second conv, BN+LReLU, max over k."""
+    conv_a, bn_a, conv_b, bn_b = names
+    cd = cfg._cdtype
+    idx = _knn(x, cfg)
+    e = edge_conv_linear(x, idx, params[conv_a]["w"], compute_dtype=cd)
+    e, s_a = _batch_norm(e, params[bn_a], state[bn_a], train=train)
+    e = _lrelu(e)
+    e = _mm(e, params[conv_b]["w"], cd)
+    e, s_b = _batch_norm(e, params[bn_b], state[bn_b], train=train)
+    e = _lrelu(e)
+    out = jnp.max(e, axis=2)
+    return out, {bn_a: s_a, bn_b: s_b}
+
+
+def _edge_stage_single_conv(
+    x, cfg, params, state, *, train
+) -> tuple[jax.Array, BNState]:
+    """Stage 3 (conv5 only). Eval mode folds max-over-k through BN+LReLU:
+    both are per-channel monotone (increasing iff the BN scale >= 0), so
+    max_j act(BN(e_j)) = act(BN(max-or-min_j e_j)) selected by sign(gamma).
+    Training materialises the (B,N,k,64) activations since BN batch stats
+    range over the k axis."""
+    cd = cfg._cdtype
+    idx = _knn(x, cfg)
+    if train:
+        e = edge_conv_linear(x, idx, params["conv5"]["w"], compute_dtype=cd)
+        e, s5 = _batch_norm(e, params["bn5"], state["bn5"], train=True)
+        return jnp.max(_lrelu(e), axis=2), {"bn5": s5}
+    mx, mn = edge_conv_linear_extrema(
+        x, idx, params["conv5"]["w"], compute_dtype=cd
+    )
+    sel = jnp.where(params["bn5"]["gamma"] >= 0, mx, mn)
+    y, s5 = _batch_norm(sel, params["bn5"], state["bn5"], train=False)
+    return _lrelu(y), {"bn5": s5}
+
+
+def apply_dgcnn(
+    params: Params,
+    state: BNState,
+    x: jax.Array,
+    cfg: DGCNNConfig,
+    *,
+    train: bool = False,
+    rng: jax.Array | None = None,
+    depth: int = 10,
+) -> tuple[jax.Array, BNState]:
+    """Forward pass.
+
+    Args:
+        params, state: from :func:`init_dgcnn` (or a converted torch ckpt).
+        x: (B, N, F) channels-last point features. (The reference takes
+           (B, F, N); transpose at the boundary.)
+        cfg: static config.
+        train: batch-stat BN + dropout when True (requires ``rng``).
+        rng: PRNG key for dropout.
+        depth: intermediate tap, mirroring /root/reference/model.py:151-189:
+            1→x1, 2→x2, 3→x3 (each (B,N,64)), 4→concat (B,N,192),
+            5→conv6 out (B,N,emb), 6→global max (B,emb),
+            7→concat global+locals (B,N,emb+192), 8→conv7 out, 9→conv8 out,
+            10 (default)→logits (B,N,num_classes).
+
+    Returns:
+        (output, new_state). ``new_state == state`` in eval mode.
+    """
+    if x.ndim != 3 or x.shape[-1] != cfg.num_features:
+        raise ValueError(
+            f"expected (B, N, {cfg.num_features}) input, got {x.shape}"
+        )
+    cd = cfg._cdtype
+    new_state = dict(state)
+
+    x1, upd = _edge_stage_two_conv(
+        x, cfg, params, state, ("conv1", "bn1", "conv2", "bn2"), train=train
+    )
+    new_state.update(upd)
+    if depth == 1:
+        return x1, new_state
+
+    x2, upd = _edge_stage_two_conv(
+        x1, cfg, params, state, ("conv3", "bn3", "conv4", "bn4"), train=train
+    )
+    new_state.update(upd)
+    if depth == 2:
+        return x2, new_state
+
+    x3, upd = _edge_stage_single_conv(x2, cfg, params, state, train=train)
+    new_state.update(upd)
+    if depth == 3:
+        return x3, new_state
+
+    locals_ = jnp.concatenate([x1, x2, x3], axis=-1)  # (B, N, 192)
+    if depth == 4:
+        return locals_, new_state
+
+    emb = _mm(locals_, params["conv6"]["w"], cd)
+    emb, s6 = _batch_norm(emb, params["bn6"], state["bn6"], train=train)
+    emb = _lrelu(emb)
+    new_state["bn6"] = s6
+    if depth == 5:
+        return emb, new_state
+
+    global_ = jnp.max(emb, axis=1)  # (B, emb)
+    if depth == 6:
+        return global_, new_state
+
+    n = x.shape[1]
+    g = jnp.broadcast_to(global_[:, None, :], (x.shape[0], n, cfg.emb_dims))
+    h = jnp.concatenate([g, x1, x2, x3], axis=-1)  # (B, N, emb+192)
+    if depth == 7:
+        return h, new_state
+
+    h = _mm(h, params["conv7"]["w"], cd)
+    h, s7 = _batch_norm(h, params["bn7"], state["bn7"], train=train)
+    h = _lrelu(h)
+    new_state["bn7"] = s7
+    if depth == 8:
+        return h, new_state
+
+    h = _mm(h, params["conv8"]["w"], cd)
+    h, s8 = _batch_norm(h, params["bn8"], state["bn8"], train=train)
+    h = _lrelu(h)
+    new_state["bn8"] = s8
+    if depth == 9:
+        return h, new_state
+
+    if train:
+        if rng is None:
+            raise ValueError("train=True dropout requires an rng key")
+        keep = 1.0 - cfg.dropout
+        mask = jax.random.bernoulli(rng, keep, h.shape)
+        h = jnp.where(mask, h / keep, 0.0)
+
+    logits = _mm(h, params["conv9"]["w"], cd)
+    return logits, new_state
+
+
+def count_parameters(params: Params) -> tuple[int, str]:
+    """Total trainable parameter count plus a per-module table
+    (replaces the PrettyTable dump at /root/reference/util.py:78-90)."""
+    rows = []
+    total = 0
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    for path, leaf in flat:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        n = int(leaf.size)
+        rows.append((name, n))
+        total += n
+    width = max(len(r[0]) for r in rows) if rows else 6
+    lines = [f"{'Module':<{width}}  Parameters"]
+    lines += [f"{name:<{width}}  {n}" for name, n in rows]
+    lines.append(f"Total Trainable Params: {total}")
+    return total, "\n".join(lines)
+
+
+class DGCNN:
+    """Object-style wrapper with the reference constructor signature
+    (/root/reference/model.py:88-104) for users migrating from the torch API.
+
+    >>> model = DGCNN(num_classes=5, num_features=4, k=30)
+    >>> params, state = model.init(jax.random.key(0))
+    >>> logits, _ = model.apply(params, state, x)          # x: (B, N, F)
+    """
+
+    def __init__(
+        self,
+        num_classes: int,
+        num_features: int,
+        k: int,
+        dropout: float = 0.5,
+        emb_dims: int = 1024,
+        **tpu_knobs,
+    ):
+        self.cfg = DGCNNConfig(
+            num_classes=num_classes,
+            num_features=num_features,
+            k=k,
+            dropout=dropout,
+            emb_dims=emb_dims,
+            **tpu_knobs,
+        )
+
+    def init(self, key: jax.Array) -> tuple[Params, BNState]:
+        return init_dgcnn(key, self.cfg)
+
+    def apply(self, params, state, x, **kw) -> tuple[jax.Array, BNState]:
+        return apply_dgcnn(params, state, x, self.cfg, **kw)

@@ -1,0 +1,123 @@
+"""EdgeConv building blocks.
+
+The reference builds explicit edge features ``cat([x_j - x_i, x_i])`` of
+shape (B, 2C, N, k) and pushes them through 1×1 convolutions
+(/root/reference/model.py:43-83, :116-130). On TPU we exploit that the first
+1×1 conv is linear in the edge features: with the conv weight split as
+``W = [W_d; W_x]`` (rows acting on the relative part and the centre part),
+
+    cat([x_j - x_i, x_i]) @ W  =  (x @ W_d)[j]  +  (x @ (W_x - W_d))[i]
+
+so the k-expanded matmul collapses to two (N, C)×(C, C') MXU matmuls on the
+*point* tensor plus a gather and a broadcast add in C' space. The (B,N,k,2C)
+edge tensor is never materialised; only (B,N,k,C') post-conv activations are.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_neighbors(feats: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather per-neighbour features.
+
+    Equivalent to the flat-index gather at /root/reference/model.py:64-77 but
+    expressed as a batched ``take_along_axis`` (no host-style index
+    flattening; XLA lowers this to a single dynamic-gather).
+
+    Args:
+        feats: (B, N, C).
+        idx: (B, N, k) int32 neighbour indices into the N axis.
+
+    Returns:
+        (B, N, k, C) neighbour features.
+    """
+    b, n, c = feats.shape
+    k = idx.shape[-1]
+    flat = jnp.take_along_axis(
+        feats[:, None, :, :],                      # (B, 1, N, C)
+        idx.reshape(b, 1, n * k, 1),               # (B, 1, N*k, 1)
+        axis=2,
+    )
+    return flat.reshape(b, n, k, c)
+
+
+def edge_features(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Explicit edge features ``cat([x_j - x_i, x_i])`` — parity helper.
+
+    Mirrors /root/reference/model.py:43-83 output (up to layout): returns
+    (B, N, k, 2C) channels-last instead of (B, 2C, N, k). The model itself
+    uses the decomposed form (:func:`edge_conv_linear`); this exists for
+    tests and for external consumers of the reference API.
+    """
+    nbr = gather_neighbors(x, idx)                 # (B, N, k, C)
+    ctr = jnp.broadcast_to(x[:, :, None, :], nbr.shape)
+    return jnp.concatenate([nbr - ctr, ctr], axis=-1)
+
+
+def edge_conv_linear(
+    x: jax.Array,
+    idx: jax.Array,
+    w: jax.Array,
+    *,
+    compute_dtype: jnp.dtype | None = None,
+) -> jax.Array:
+    """First EdgeConv 1×1 conv without materialising edge features.
+
+    Computes ``edge_features(x, idx) @ w`` exactly (up to fp reassociation)
+    via the linear decomposition documented in the module docstring.
+
+    Args:
+        x: (B, N, C) point features.
+        idx: (B, N, k) neighbour indices.
+        w: (2C, C_out) conv weight; rows [:C] act on the relative part
+           (x_j - x_i), rows [C:] on the centre part x_i. This matches the
+           channel order of the reference concat (/root/reference/model.py:81).
+        compute_dtype: optional dtype for the two point matmuls (e.g.
+           bfloat16); accumulation stays float32.
+
+    Returns:
+        (B, N, k, C_out) pre-BN conv activations.
+    """
+    c = x.shape[-1]
+    w_d, w_x = w[:c], w[c:]
+    xm = x if compute_dtype is None else x.astype(compute_dtype)
+    w_dm = w_d if compute_dtype is None else w_d.astype(compute_dtype)
+    w_cm = (w_x - w_d) if compute_dtype is None else (w_x - w_d).astype(compute_dtype)
+    a = jnp.einsum("bnc,cd->bnd", xm, w_dm, preferred_element_type=jnp.float32)
+    b = jnp.einsum("bnc,cd->bnd", xm, w_cm, preferred_element_type=jnp.float32)
+    return gather_neighbors(a, idx) + b[:, :, None, :]
+
+
+def edge_conv_linear_extrema(
+    x: jax.Array,
+    idx: jax.Array,
+    w: jax.Array,
+    *,
+    compute_dtype: jnp.dtype | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-channel (max, min) over k of the decomposed EdgeConv conv output.
+
+    For an EdgeConv stage that applies a *single* conv before the
+    max-over-neighbours (stage 3 of the reference, /root/reference/
+    model.py:161-163), the subsequent BatchNorm+LeakyReLU are per-channel
+    monotone maps — increasing where the effective BN scale is >= 0,
+    decreasing otherwise. The max over k can therefore be taken *before*
+    BN+activation by keeping both the per-channel max and min of the conv
+    output and selecting by the sign of the BN scale. This removes every
+    (B,N,k,·) element-wise op from the stage; only the gather and two k
+    reductions remain.
+
+    Returns:
+        (max_over_k, min_over_k), each (B, N, C_out).
+    """
+    c = x.shape[-1]
+    w_d, w_x = w[:c], w[c:]
+    xm = x if compute_dtype is None else x.astype(compute_dtype)
+    w_dm = w_d if compute_dtype is None else w_d.astype(compute_dtype)
+    w_cm = (w_x - w_d) if compute_dtype is None else (w_x - w_d).astype(compute_dtype)
+    a = jnp.einsum("bnc,cd->bnd", xm, w_dm, preferred_element_type=jnp.float32)
+    b = jnp.einsum("bnc,cd->bnd", xm, w_cm, preferred_element_type=jnp.float32)
+    nbr = gather_neighbors(a, idx)                 # (B, N, k, C_out)
+    return jnp.max(nbr, axis=2) + b, jnp.min(nbr, axis=2) + b

@@ -1,0 +1,203 @@
+"""Jitted train/eval steps and reference-matching optimizers.
+
+Reference training semantics (/root/reference/train.py:18-318), intended
+form (SURVEY.md §2 bug list):
+
+* Adam(lr, weight_decay=1e-4) or SGD(lr*100, momentum, weight_decay=1e-4)
+  (train.py:113-118). torch's ``weight_decay`` is L2-into-gradient, which is
+  ``optax.add_decayed_weights`` *before* the Adam/momentum scaling.
+* CosineAnnealingLR(T_max=epochs, eta_min=1e-3) stepped per epoch, or
+  StepLR(step=20, gamma=0.5) with the 1e-5 floor applied at
+  train.py:230-234. (The reference rebinds ``scheduler`` and never actually
+  steps it — we implement the intended schedule.)
+* loss: label-smoothed CE on *logits* over class-balance-masked points
+  (the intended semantics of the focus-label remap, train.py:167-197).
+
+Everything per-batch runs inside one jit: forward (training BatchNorm),
+loss, backward, optimizer update and on-device confusion-matrix metrics.
+Under a data-sharded batch jit inserts the gradient/metric psums.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dgcnn_tpu.models.dgcnn import DGCNNConfig, apply_dgcnn, init_dgcnn
+from dgcnn_tpu.ops.losses import masked_smoothed_cross_entropy
+from dgcnn_tpu.ops.metrics import confusion_matrix
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    """Complete training state — a single pytree, trivially checkpointable."""
+
+    params: Any
+    bn_state: Any
+    opt_state: Any
+    rng: jax.Array
+    step: jax.Array  # int32 scalar
+
+
+def cosine_annealing(lr0: float, epochs: int, eta_min: float = 1e-3):
+    """torch CosineAnnealingLR(T_max=epochs, eta_min) as an epoch->lr fn."""
+
+    def schedule(epoch):
+        t = jnp.minimum(epoch, epochs)
+        return eta_min + (lr0 - eta_min) * 0.5 * (1 + jnp.cos(jnp.pi * t / epochs))
+
+    return schedule
+
+
+def step_lr(lr0: float, step_size: int = 20, gamma: float = 0.5,
+            floor: float = 1e-5):
+    """torch StepLR with the reference's explicit 1e-5 floor
+    (/root/reference/train.py:230-234)."""
+
+    def schedule(epoch):
+        return jnp.maximum(lr0 * gamma ** (epoch // step_size), floor)
+
+    return schedule
+
+
+def make_optimizer(
+    *,
+    use_sgd: bool = False,
+    lr: float = 1e-3,
+    momentum: float = 0.9,
+    weight_decay: float = 1e-4,
+    scheduler: str = "cos",
+    epochs: int = 30,
+    steps_per_epoch: int = 1,
+) -> optax.GradientTransformation:
+    """Reference-matching optimizer. The schedule is evaluated per optimizer
+    step but changes value once per epoch (epoch = step // steps_per_epoch),
+    matching per-epoch ``scheduler.step()`` semantics."""
+    base_lr = lr * 100 if use_sgd else lr
+    if scheduler == "cos":
+        epoch_sched = cosine_annealing(base_lr, epochs)
+    elif scheduler == "step":
+        epoch_sched = step_lr(base_lr)
+    elif scheduler == "none":
+        epoch_sched = lambda e: base_lr  # noqa: E731
+    else:
+        raise ValueError(f"unknown scheduler {scheduler!r}")
+
+    def sched(step):
+        return epoch_sched(step // steps_per_epoch)
+
+    if use_sgd:
+        core = optax.trace(decay=momentum, nesterov=False)
+    else:
+        core = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),  # torch L2-into-grad
+        core,
+        optax.scale_by_schedule(lambda s: -sched(s)),
+    )
+
+
+def init_train_state(
+    key: jax.Array, cfg: DGCNNConfig, tx: optax.GradientTransformation
+) -> TrainState:
+    pkey, rkey = jax.random.split(key)
+    params, bn_state = init_dgcnn(pkey, cfg)
+    return TrainState(
+        params=params,
+        bn_state=bn_state,
+        opt_state=tx.init(params),
+        rng=rkey,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    cfg: DGCNNConfig,
+    tx: optax.GradientTransformation,
+    *,
+    smoothing: bool = True,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step.
+
+    The step takes ``(state, points (B,N,F), labels (B,N) int, mask (B,N))``
+    and returns ``(new_state, metrics)`` where metrics holds the scalar loss
+    and a (C, C) confusion matrix over masked points (accumulate matrices on
+    host and derive accuracy / balanced accuracy / IoU at logging time).
+    """
+
+    def loss_fn(params, bn_state, points, labels, mask, rng):
+        logits, new_bn = apply_dgcnn(
+            params, bn_state, points, cfg, train=True, rng=rng
+        )
+        loss = masked_smoothed_cross_entropy(
+            logits, labels, mask, smoothing=smoothing
+        )
+        return loss, (new_bn, logits)
+
+    def step(state: TrainState, points, labels, mask):
+        rng, dropout_rng = jax.random.split(state.rng)
+        (loss, (new_bn, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.bn_state, points, labels, mask, dropout_rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        pred = jnp.argmax(logits, axis=-1)
+        cm = confusion_matrix(pred, labels, cfg.num_classes, weights=mask)
+        metrics = {"loss": loss, "confusion": cm}
+        new_state = TrainState(
+            params=new_params,
+            bn_state=new_bn,
+            opt_state=new_opt,
+            rng=rng,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(cfg: DGCNNConfig, *, smoothing: bool = True) -> Callable:
+    """Jitted eval step: running-stat BN, loss on logits, full-point
+    confusion matrix (reference validation loop /root/reference/
+    train.py:254-297, minus its double-softmax loss bug)."""
+
+    @jax.jit
+    def step(params, bn_state, points, labels):
+        logits, _ = apply_dgcnn(params, bn_state, points, cfg, train=False)
+        loss = masked_smoothed_cross_entropy(
+            logits, labels, jnp.ones(labels.shape, jnp.float32),
+            smoothing=smoothing,
+        )
+        pred = jnp.argmax(logits, axis=-1)
+        cm = confusion_matrix(pred, labels, cfg.num_classes)
+        return {"loss": loss, "confusion": cm, "pred": pred, "logits": logits}
+
+    return step
+
+
+def make_predict_step(
+    cfg: DGCNNConfig, *, min_class_confidence: float = 0.8,
+    unclassified: int = 31,
+) -> Callable:
+    """Jitted inference step with the reference's confidence thresholding:
+    points whose max softmax probability is below ``min_class_confidence``
+    are labelled LAS class 31 UNCLASSIFIED (/root/reference/test.py:15,
+    :122-127)."""
+
+    @jax.jit
+    def step(params, bn_state, points):
+        logits, _ = apply_dgcnn(params, bn_state, points, cfg, train=False)
+        probs = jax.nn.softmax(logits, axis=-1)
+        conf = jnp.max(probs, axis=-1)
+        pred = jnp.argmax(probs, axis=-1)
+        pred = jnp.where(conf < min_class_confidence, unclassified, pred)
+        return pred.astype(jnp.int32), probs
+
+    return step

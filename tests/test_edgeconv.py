@@ -1,0 +1,63 @@
+"""EdgeConv op tests: gather correctness and exactness of the linear
+decomposition vs the explicit edge-feature formulation
+(/root/reference/model.py:43-83)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgcnn_tpu.ops.edgeconv import (
+    edge_conv_linear,
+    edge_conv_linear_extrema,
+    edge_features,
+    gather_neighbors,
+)
+
+
+def test_gather_neighbors_golden():
+    feats = jnp.asarray(np.arange(2 * 4 * 3, dtype=np.float32).reshape(2, 4, 3))
+    idx = jnp.asarray([[[0, 1], [2, 0], [3, 3], [1, 2]],
+                       [[3, 2], [0, 0], [1, 3], [2, 1]]], dtype=jnp.int32)
+    got = np.asarray(gather_neighbors(feats, idx))
+    want = np.stack(
+        [np.asarray(feats)[b][np.asarray(idx)[b]] for b in range(2)]
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_edge_features_structure(rng):
+    x = jnp.asarray(rng.standard_normal((2, 16, 5)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 16, (2, 16, 4)), dtype=jnp.int32)
+    ef = np.asarray(edge_features(x, idx))
+    assert ef.shape == (2, 16, 4, 10)
+    xn = np.asarray(x)
+    # first half: x_j - x_i ; second half: x_i
+    for b in (0, 1):
+        for i in (0, 7, 15):
+            for jj in range(4):
+                j = int(np.asarray(idx)[b, i, jj])
+                np.testing.assert_allclose(
+                    ef[b, i, jj, :5], xn[b, j] - xn[b, i], atol=1e-6
+                )
+                np.testing.assert_allclose(ef[b, i, jj, 5:], xn[b, i], atol=1e-6)
+
+
+def test_edge_conv_linear_matches_explicit(rng):
+    x = jnp.asarray(rng.standard_normal((2, 32, 6)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 32, (2, 32, 5)), dtype=jnp.int32)
+    w = jnp.asarray(rng.standard_normal((12, 8)).astype(np.float32))
+    explicit = jnp.einsum("bnkc,cd->bnkd", edge_features(x, idx), w)
+    fused = edge_conv_linear(x, idx, w)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(explicit), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_edge_conv_linear_extrema(rng):
+    x = jnp.asarray(rng.standard_normal((1, 24, 4)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 24, (1, 24, 6)), dtype=jnp.int32)
+    w = jnp.asarray(rng.standard_normal((8, 10)).astype(np.float32))
+    full = np.asarray(jnp.einsum("bnkc,cd->bnkd", edge_features(x, idx), w))
+    mx, mn = edge_conv_linear_extrema(x, idx, w)
+    np.testing.assert_allclose(np.asarray(mx), full.max(axis=2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mn), full.min(axis=2), atol=1e-4)

@@ -1,0 +1,145 @@
+"""DGCNN model tests: shapes, depth taps, parameter count, BN state updates,
+train/eval determinism (reference: /root/reference/model.py:85-193)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgcnn_tpu.models.dgcnn import (
+    DGCNN,
+    DGCNNConfig,
+    apply_dgcnn,
+    count_parameters,
+    init_dgcnn,
+)
+
+CFG = DGCNNConfig(num_classes=5, num_features=4, k=8, emb_dims=64,
+                  knn_query_chunk=None)
+
+
+@pytest.fixture(scope="module")
+def model_and_input():
+    params, state = init_dgcnn(jax.random.key(0), CFG)
+    x = jax.random.normal(jax.random.key(1), (2, 64, 4))
+    return params, state, x
+
+
+def test_forward_shape(model_and_input):
+    params, state, x = model_and_input
+    logits, new_state = apply_dgcnn(params, state, x, CFG)
+    assert logits.shape == (2, 64, 5)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    # eval mode must not touch BN state
+    for bn in state:
+        np.testing.assert_array_equal(
+            np.asarray(state[bn]["mean"]), np.asarray(new_state[bn]["mean"])
+        )
+
+
+def test_depth_taps(model_and_input):
+    params, state, x = model_and_input
+    shapes = {
+        1: (2, 64, 64), 2: (2, 64, 64), 3: (2, 64, 64),
+        4: (2, 64, 192), 5: (2, 64, CFG.emb_dims), 6: (2, CFG.emb_dims),
+        7: (2, 64, CFG.emb_dims + 192), 8: (2, 64, 512), 9: (2, 64, 256),
+        10: (2, 64, 5),
+    }
+    for depth, shape in shapes.items():
+        out, _ = apply_dgcnn(params, state, x, CFG, depth=depth)
+        assert out.shape == shape, f"depth {depth}"
+
+
+def test_param_count_baseline_config():
+    # ≈0.98 M params at F=4, C=5, emb=1024 (SURVEY.md §6 / model.py:116-141)
+    cfg = DGCNNConfig(num_classes=5, num_features=4, k=30, emb_dims=1024)
+    params, _ = init_dgcnn(jax.random.key(0), cfg)
+    total, table = count_parameters(params)
+    assert 960_000 < total < 1_000_000
+    assert "Total Trainable Params" in table
+
+
+def test_train_mode_updates_bn_state(model_and_input):
+    params, state, x = model_and_input
+    logits, new_state = apply_dgcnn(
+        params, state, x, CFG, train=True, rng=jax.random.key(2)
+    )
+    assert logits.shape == (2, 64, 5)
+    changed = any(
+        not np.allclose(
+            np.asarray(state[bn]["mean"]), np.asarray(new_state[bn]["mean"])
+        )
+        for bn in state
+    )
+    assert changed
+
+
+def test_train_eval_bn_consistency(model_and_input):
+    """After one train step on a fixed batch, running stats move toward the
+    batch stats with momentum 0.1 (torch semantics)."""
+    params, state, x = model_and_input
+    _, new_state = apply_dgcnn(
+        params, state, x, CFG, train=True, rng=jax.random.key(3)
+    )
+    m0 = np.asarray(state["bn1"]["mean"])
+    m1 = np.asarray(new_state["bn1"]["mean"])
+    # mean update must be a (1-0.1)/0.1 blend: new = 0.9*old + 0.1*batch
+    batch = (m1 - 0.9 * m0) / 0.1
+    assert np.all(np.isfinite(batch))
+    # plugging the recovered batch mean back reproduces the update exactly
+    np.testing.assert_allclose(0.9 * m0 + 0.1 * batch, m1, rtol=1e-6)
+
+
+def test_eval_deterministic(model_and_input):
+    params, state, x = model_and_input
+    a, _ = apply_dgcnn(params, state, x, CFG)
+    b, _ = apply_dgcnn(params, state, x, CFG)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stage3_extrema_trick_matches_materialised(model_and_input):
+    """Eval-mode stage-3 fold (max through BN+LReLU) must equal the direct
+    computation even with negative BN gammas."""
+    params, state, x = model_and_input
+    # force some negative gammas in bn5 to exercise the min-selection path
+    params = jax.tree_util.tree_map(lambda v: v, params)
+    g = np.asarray(params["bn5"]["gamma"]).copy()
+    g[::2] *= -1.0
+    params["bn5"] = dict(params["bn5"], gamma=jnp.asarray(g))
+
+    out_fast, _ = apply_dgcnn(params, state, x, CFG, depth=3)
+
+    # direct path: run in train=False but via the train-mode materialised
+    # formula with running stats — emulate by calling the internal pieces
+    from dgcnn_tpu.models.dgcnn import _batch_norm, _lrelu
+    from dgcnn_tpu.ops.edgeconv import edge_conv_linear
+    from dgcnn_tpu.ops.knn import knn
+
+    x1, _ = apply_dgcnn(params, state, x, CFG, depth=1)
+    x2, _ = apply_dgcnn(params, state, x, CFG, depth=2)
+    idx = knn(x2, CFG.k, query_chunk=None)
+    e = edge_conv_linear(x2, idx, params["conv5"]["w"])
+    e, _ = _batch_norm(e, params["bn5"], state["bn5"], train=False)
+    want = jnp.max(_lrelu(e), axis=2)
+    np.testing.assert_allclose(
+        np.asarray(out_fast), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_wrapper_class():
+    model = DGCNN(num_classes=3, num_features=4, k=5, emb_dims=32,
+                  knn_query_chunk=None)
+    params, state = model.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (1, 32, 4))
+    logits, _ = model.apply(params, state, x)
+    assert logits.shape == (1, 32, 3)
+
+
+def test_jit_forward(model_and_input):
+    params, state, x = model_and_input
+    fwd = jax.jit(lambda p, s, x: apply_dgcnn(p, s, x, CFG)[0])
+    logits = fwd(params, state, x)
+    ref, _ = apply_dgcnn(params, state, x, CFG)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
