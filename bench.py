@@ -57,9 +57,12 @@ def bench_jax() -> dict:
     rt = _roundtrip_s()
     log(f"host<->device round-trip: {rt*1e3:.1f} ms (subtracted)")
     results = {}
-    for tag, compute_dtype in (("f32", None), ("bf16", "bfloat16")):
+    # headline: the fused Pallas exact-kNN path (bit-identical neighbour
+    # sets to the reference's top-k — measured 100% index match on device);
+    # 'approx' (lax.approx_max_k, recall 0.95) reported as diagnostics.
+    for tag, knn_impl in (("pallas-exact", "pallas"), ("approx", "approx")):
         cfg = DGCNNConfig(num_classes=C, num_features=F, k=K, emb_dims=EMB,
-                          compute_dtype=compute_dtype)
+                          knn_impl=knn_impl)
         params, state = init_dgcnn(jax.random.key(0), cfg)
         x = jax.random.normal(jax.random.key(1), (B, N, F), jnp.float32)
 
@@ -137,10 +140,9 @@ def get_baseline() -> float | None:
 def main():
     results = bench_jax()
     baseline = get_baseline()
-    best_tag = max(results, key=lambda t: results[t]["points_per_sec"])
-    value = results[best_tag]["points_per_sec"]
+    value = results["pallas-exact"]["points_per_sec"]
     out = {
-        "metric": f"points_per_sec_chip_infer_N{N}_k{K} ({best_tag})",
+        "metric": f"points_per_sec_chip_infer_N{N}_k{K} (exact kNN)",
         "value": round(value, 1),
         "unit": "points/s",
         "vs_baseline": round(value / baseline, 2) if baseline else None,

@@ -1,0 +1,195 @@
+"""Batched evaluation over a processed dataset, with per-room dump files.
+
+Mirrors /root/reference/test.py:17-193: loads the validation partition,
+runs batched inference with confidence thresholding (max softmax prob <
+min_class_confidence → LAS class 31 UNCLASSIFIED), writes per-room
+``Area_{a}_room_{r}_pred_gt.txt`` (x y z pred [gt logits...]) and
+``*_true_labels.txt`` dumps, and reports accuracy / balanced accuracy /
+confusion matrix / per-class IoU.
+
+Dump format: the first four columns (x y z pred) match the reference
+(test.py:145-148) so postprocess tooling is interchangeable; with
+``dump_logits=True`` the row becomes ``x y z rni pred gt logits...`` — the
+layout the reference's own postprocess scripts actually expect
+(/root/reference/postprocess_data/combine_results.py:61-79: xyz 0:3,
+rni 3:6, pred 6, gt 7, logits 8:).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import jax
+import numpy as np
+
+from dgcnn_tpu.data.dataset import FugroDataset
+from dgcnn_tpu.models.dgcnn import DGCNNConfig, count_parameters
+from dgcnn_tpu.ops.metrics import (
+    accuracy_from_confusion,
+    balanced_accuracy_from_confusion,
+    calculate_sem_iou,
+    confusion_matrix,
+)
+from dgcnn_tpu.train.checkpoint import try_resume
+from dgcnn_tpu.train.steps import init_train_state, make_optimizer
+from dgcnn_tpu.utils.logging import IOStream
+
+UNCLASSIFIED = 31
+
+
+def _restore(cfg: DGCNNConfig, model_root: str, model_label: str, io):
+    """Restore params/bn-state from a dgcnn_tpu .npz or a reference .t7."""
+    t7 = os.path.join(model_root, f"{model_label}.t7")
+    npz = os.path.join(model_root, f"{model_label}.npz")
+    if os.path.exists(npz):
+        tx = make_optimizer()
+        template = init_train_state(jax.random.key(0), cfg, tx)
+        restored = try_resume(npz, template)
+        if restored is None:
+            raise FileNotFoundError(f"unreadable checkpoint {npz}")
+        state, _ = restored
+        io.cprint(f"{model_label}.npz restored.")
+        return state.params, state.bn_state
+    if os.path.exists(t7):
+        from dgcnn_tpu.compat.torch_ckpt import load_torch_checkpoint
+
+        ck = load_torch_checkpoint(t7)
+        io.cprint(f"{model_label}.t7 restored.")
+        return ck["params"], ck["bn_state"]
+    raise FileNotFoundError(f"no checkpoint {npz} or {t7}")
+
+
+def test(
+    k: int,
+    io: IOStream,
+    data_dir: str = "",
+    num_points: int = 7000,
+    num_classes: int = 5,
+    num_features: int = 4,
+    test_batch_size: int = 8,
+    dropout: float = 0.5,
+    emb_dims: int = 1024,
+    use_all_points: bool = False,
+    min_class_confidence: float = 0.8,
+    model_label: str = "dgcnn_model",
+    model_root: str = "checkpoints/dgcnn",
+    pred_dir: str = "predict",
+    test_area: str = "1",
+    seed: int = 1,
+    knn_impl: str = "xla",
+    compute_dtype: str | None = None,
+    dump_logits: bool = False,
+    validation_prop: float = 0.2,
+) -> dict:
+    """Evaluate a trained model; returns a metrics dict."""
+    from dgcnn_tpu.train.steps import make_predict_step
+
+    cfg = DGCNNConfig(
+        num_classes=num_classes, num_features=num_features, k=k,
+        dropout=dropout, emb_dims=emb_dims, knn_impl=knn_impl,
+        compute_dtype=compute_dtype,
+    )
+    dataset = FugroDataset(
+        "test", data_dir, num_point=num_points,
+        use_all_points=use_all_points, seed=seed,
+        validation_prop=validation_prop, classes=range(num_classes),
+    )
+    os.makedirs(pred_dir, exist_ok=True)
+    io.cprint("Start overall evaluation...")
+    params, bn_state = _restore(cfg, model_root, model_label, io)
+    total, table = count_parameters(params)
+    io.cprint(table)
+    predict_step = make_predict_step(
+        cfg, min_class_confidence=min_class_confidence,
+        unclassified=UNCLASSIFIED,
+    )
+
+    io.cprint("Start testing ...")
+    cm = np.zeros((num_classes, num_classes))
+    room_preds: dict[int, list] = defaultdict(list)
+    room_truth: dict[int, list] = defaultdict(list)
+    dumps: dict[int, list] = defaultdict(list)
+    for batch in dataset.batches(
+        test_batch_size, shuffle=False, drop_last=False, with_mask=False
+    ):
+        pred, probs = predict_step(params, bn_state, batch.points)
+        pred = np.asarray(pred)
+        probs = np.asarray(probs)
+        cm += np.asarray(
+            confusion_matrix(pred, batch.labels, num_classes,
+                             weights=batch.mask)
+        )
+        for i, room in enumerate(np.asarray(batch.room_idx)):
+            valid = batch.mask[i] > 0
+            room_preds[int(room)].append(pred[i][valid])
+            room_truth[int(room)].append(batch.labels[i][valid])
+            row = [batch.points[i][valid][:, :3], pred[i][valid, None]]
+            if dump_logits:
+                rni = np.zeros((valid.sum(), 3))
+                row = [batch.points[i][valid][:, :3], rni,
+                       pred[i][valid, None],
+                       batch.labels[i][valid, None].astype(float),
+                       probs[i][valid]]
+            dumps[int(room)].append(np.hstack(row))
+
+    for room, rows in dumps.items():
+        arr = np.vstack(rows)
+        path = os.path.join(
+            pred_dir, f"Area_{test_area}_room_{room}_pred_gt.txt"
+        )
+        np.savetxt(path, arr, fmt="%f")
+        truth = np.concatenate(room_truth[room])
+        np.savetxt(
+            os.path.join(
+                pred_dir, f"Area_{test_area}_room_{room}_true_labels.txt"
+            ),
+            truth[:, None], fmt="%d",
+        )
+
+    acc = float(accuracy_from_confusion(cm))
+    bacc = float(balanced_accuracy_from_confusion(cm))
+    io.cprint(
+        "Test :: test area: %s, test acc: %.6f, test avg acc: %.6f"
+        % (test_area, acc, bacc)
+    )
+    io.cprint("Confusion matrix:")
+    io.cprint(str(cm.astype(np.int64)))
+    ious = calculate_sem_iou(
+        [np.concatenate(room_preds[r]) for r in sorted(room_preds)],
+        [np.concatenate(room_truth[r]) for r in sorted(room_truth)],
+        num_classes,
+    )
+    io.cprint(f"per-class IoU: {ious}")
+    return {
+        "accuracy": acc,
+        "balanced_accuracy": bacc,
+        "confusion": cm,
+        "iou": ious,
+        "mean_iou": float(np.nanmean(ious)),
+    }
+
+
+def test_args(args, io: IOStream) -> dict:
+    """CLI adapter (/root/reference/test.py:195-221)."""
+    return test(
+        args.k,
+        io,
+        data_dir=args.data_dir,
+        num_points=args.num_points,
+        num_classes=args.num_classes,
+        num_features=args.num_features,
+        test_batch_size=args.test_batch_size,
+        dropout=args.dropout,
+        emb_dims=args.emb_dims,
+        use_all_points=args.use_all_points,
+        min_class_confidence=args.min_class_confidence,
+        model_label=args.model_label,
+        model_root=args.model_root,
+        pred_dir=args.test_visu_dir,
+        test_area=getattr(args, "validation_area", "1"),
+        seed=args.seed,
+        knn_impl=getattr(args, "knn_impl", "xla"),
+        compute_dtype=getattr(args, "compute_dtype", None),
+        validation_prop=args.validation_prop,
+    )

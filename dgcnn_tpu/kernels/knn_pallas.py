@@ -1,0 +1,153 @@
+"""Fused Pallas kNN kernel: distance matmul + exact top-k in VMEM.
+
+THE hot op of DGCNN (/root/reference/model.py:25-40 recomputes a full
+(B, N, N) distance matrix 3x per forward). XLA's sort-based ``lax.top_k``
+measured ~273 ms per kNN at B=8, N=7000 on v5e; the distance matmul alone
+is 1.4 ms. This kernel keeps a (QT, N) score tile resident in VMEM —
+scores never touch HBM — and selects the k best per row by iterative
+max-extraction:
+
+    per extraction step (k total):
+      m    = max_j(scores)                         # row max (VPU reduce)
+      col  = max_j((scores == m) ? iota_rev : 0)   # lowest winning column
+      scores[col] = -inf                           # knock out
+
+Selection is exact in f32 with deterministic lowest-index tie-breaking
+(identical ordering to ``jax.lax.top_k``). Cost is O(k·N) VPU work per row
+— far below a full sort — and the MXU matmul is fused in front, so the
+kernel reads x from HBM once per batch element and writes only indices.
+
+Layout: N padded to lane multiples (128); padded candidates get -inf
+scores via ``cnorm = +inf``. k padded to a multiple of 8 for the output
+tile and sliced by the caller.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = float("-inf")
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _knn_kernel(
+    x_ref, q_ref, cnorm_ref, idx_ref, scores_scr, idx_scr, *, k_pad, n_pad
+):
+    """One (batch, query-tile) program.
+
+    x_ref:     (1, N_pad, C)  candidates (revisited across query tiles)
+    q_ref:     (1, QT, C)     query tile
+    cnorm_ref: (1, 1, N_pad)  candidate squared norms (+inf on padding)
+    idx_ref:   (1, QT, k_pad) output neighbour indices
+    scores_scr:(QT, N_pad)    f32 scratch — the resident score tile
+    idx_scr:   (QT, k_pad)    i32 scratch — selected indices
+    """
+    q = q_ref[0]
+    x = x_ref[0]
+    scores = 2.0 * jax.lax.dot_general(
+        q, x,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) - cnorm_ref[0]
+    scores_scr[:] = scores
+
+    qt = q.shape[0]
+    # iota_rev: higher value = lower column, so a max() over winners picks
+    # the lowest-index column among score ties (lax.top_k tie order)
+    iota_rev = n_pad - jax.lax.broadcasted_iota(jnp.int32, (qt, n_pad), 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (qt, k_pad), 1)
+
+    def body(j, _):
+        s = scores_scr[:]
+        m = jnp.max(s, axis=1, keepdims=True)                 # (QT, 1)
+        col_rev = jnp.max(
+            jnp.where(s == m, iota_rev, 0), axis=1, keepdims=True
+        )                                                     # (QT, 1)
+        idx_scr[:] = jnp.where(k_iota == j, n_pad - col_rev, idx_scr[:])
+        scores_scr[:] = jnp.where(iota_rev == col_rev, _NEG_INF, s)
+        return ()
+
+    jax.lax.fori_loop(0, k_pad, body, (), unroll=False)
+    idx_ref[0] = idx_scr[:]
+
+
+def knn_pallas(
+    x: jax.Array,
+    k: int,
+    *,
+    query_tile: int = 256,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Public wrapper: defaults ``interpret`` to True off-TPU so the same
+    model config runs under CPU tests and the TPU Mosaic path in prod."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _knn_pallas_jit(x, k, query_tile=query_tile, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "query_tile", "interpret"))
+def _knn_pallas_jit(
+    x: jax.Array,
+    k: int,
+    *,
+    query_tile: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Exact k nearest neighbours (self included) via the fused kernel.
+
+    Args:
+        x: (B, N, C) point features.
+        k: neighbourhood size.
+        query_tile: query rows per program (VMEM ≈ QT x N_pad x 4 bytes
+            for the score tile).
+        interpret: run in the Pallas interpreter (CPU tests).
+
+    Returns:
+        (B, N, k) int32 indices, nearest first, ties to the lower index.
+    """
+    b, n, c = x.shape
+    if k > n:
+        raise ValueError(f"k={k} exceeds number of points {n}")
+    n_pad = _round_up(n, 128)
+    c_pad = max(_round_up(c, 8), 8)
+    k_pad = _round_up(k, 8)
+    qt = min(query_tile, n_pad)
+    n_q_pad = _round_up(n, qt)
+
+    xf = x.astype(jnp.float32)
+    xp = jnp.pad(xf, ((0, 0), (0, n_pad - n), (0, c_pad - c)))
+    qp = jnp.pad(xf, ((0, 0), (0, n_q_pad - n), (0, c_pad - c)))
+    cnorm = jnp.sum(xp * xp, axis=-1)  # (B, N_pad)
+    col = jnp.arange(n_pad)
+    cnorm = jnp.where(col[None, :] >= n, jnp.inf, cnorm)[:, None, :]
+
+    grid = (b, n_q_pad // qt)
+    out = pl.pallas_call(
+        functools.partial(_knn_kernel, k_pad=k_pad, n_pad=n_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_pad, c_pad), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qt, c_pad), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, qt, k_pad), lambda bi, qi: (bi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_q_pad, k_pad), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((qt, n_pad), jnp.float32),
+            pltpu.VMEM((qt, k_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xp, qp, cnorm)
+    return out[:, :n, :k]

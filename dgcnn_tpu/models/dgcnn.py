@@ -156,6 +156,10 @@ def _knn(x: jax.Array, cfg: DGCNNConfig) -> jax.Array:
         from dgcnn_tpu.kernels.knn_pallas import knn_pallas
 
         return knn_pallas(x, cfg.k)
+    if cfg.knn_impl == "approx":
+        return knn(x, cfg.k, query_chunk=cfg.knn_query_chunk, approx=True)
+    if cfg.knn_impl != "xla":
+        raise ValueError(f"unknown knn_impl {cfg.knn_impl!r}")
     return knn(x, cfg.k, query_chunk=cfg.knn_query_chunk)
 
 

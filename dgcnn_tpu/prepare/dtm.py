@@ -1,0 +1,331 @@
+"""DTM (digital terrain model) generation and AGL computation.
+
+The reference's only native component is the proprietary ``DTMGeneration``
+C++ binary, invoked over a text-file protocol (points txt + region txt in,
+float32 square height grid out; /root/reference/prepare_data/dtm.py:86-126).
+Its algorithm is unspecified; the I/O contract and parameter names (cell
+size, seed cell size, boundary block width, water/building flags) imply a
+seed-cell progressive ground filter. This module provides:
+
+* :func:`dtm_grid` — the ground-extraction algorithm in numpy (documented
+  below), shared semantics with the native C++ ``dtmgen`` component
+  (native/dtmgen/dtmgen.cpp) which implements the identical algorithm and
+  the reference's CLI/.dat contract;
+* :func:`build_dtm` — reference-API wrapper returning ground points (M, 3),
+  preferring the native binary (subprocess, same protocol) and falling back
+  to the numpy implementation;
+* :func:`gen_agl` — AGL = z − mean of the 4 nearest DTM heights
+  (/root/reference/prepare_data/dtm.py:140-160).
+
+Algorithm (progressive seed-cell ground filter):
+1. rasterise min-z per cell over the square region grid;
+2. seeds: the minimum cell of every seed_cell x seed_cell block (plus
+   boundary strips of ``boundary_block_width`` cells) is ground — the
+   lowest return over a large area is terrain barring deep water;
+3. coarse-to-fine densification: halve the block size each level; a cell
+   is accepted as ground when its min-z lies within a level-dependent
+   tolerance (0.3 m + 0.05 m/m x block) of the surface interpolated from
+   currently-accepted cells. Buildings (raised, locally flat) stay above
+   tolerance at windows larger than their footprint and are rejected —
+   skipped when remove_buildings=False;
+4. final surface: pull-push pyramid interpolation of accepted heights;
+   cells outside data coverage become the -1e4 no-data value. With
+   detect_water=True, interior no-data holes (water absorbs returns) are
+   flood-filled at the minimum height of their boundary ring.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+NO_DATA = -1e4
+
+
+def _pull_push_fill(height: np.ndarray, known: np.ndarray) -> np.ndarray:
+    """Fill unknown cells from known ones by pyramid downsample/upsample.
+
+    O(cells); deterministic; mirrored exactly in dtmgen.cpp.
+    """
+    h = np.where(known, height, 0.0).astype(np.float64)
+    w = known.astype(np.float64)
+    levels = []
+    while h.shape[0] > 1 or h.shape[1] > 1:
+        levels.append((h, w))
+        ph = _downsample2(h)
+        pw = _downsample2(w)
+        h, w = ph, pw
+    levels.append((h, w))
+    # top level: average of everything known
+    h, w = levels[-1]
+    filled = np.where(w > 0, h / np.maximum(w, 1e-12), 0.0)
+    for lh, lw in reversed(levels[:-1]):
+        up = _upsample_to(filled, lh.shape)
+        filled = np.where(lw > 0, lh / np.maximum(lw, 1e-12), up)
+    return filled
+
+
+def _downsample2(a: np.ndarray) -> np.ndarray:
+    r = (a.shape[0] + 1) // 2, (a.shape[1] + 1) // 2
+    out = np.zeros(r, a.dtype)
+    for di in (0, 1):
+        for dj in (0, 1):
+            sub = a[di::2, dj::2]
+            out[: sub.shape[0], : sub.shape[1]] += sub
+    return out
+
+
+def _upsample_to(a: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
+    out = np.repeat(np.repeat(a, 2, axis=0), 2, axis=1)
+    return out[: shape[0], : shape[1]]
+
+
+def _rasterize_min(
+    xyz: np.ndarray, min_x: float, min_y: float, cell: float, edge: int
+) -> tuple[np.ndarray, np.ndarray]:
+    ix = np.floor((xyz[:, 0] - min_x) / cell).astype(np.int64)
+    iy = np.floor((xyz[:, 1] - min_y) / cell).astype(np.int64)
+    ok = (ix >= 0) & (ix < edge) & (iy >= 0) & (iy < edge)
+    ix, iy, z = ix[ok], iy[ok], xyz[ok, 2]
+    minz = np.full((edge, edge), np.inf)
+    np.minimum.at(minz, (ix, iy), z)
+    known = np.isfinite(minz)
+    return np.where(known, minz, 0.0), known
+
+
+def dtm_grid(
+    xyz: np.ndarray,
+    min_x: float,
+    min_y: float,
+    width: float,
+    cell_size: float = 1.0,
+    seed_cell_size: float = 90.0,
+    boundary_block_width: int = 5,
+    detect_water: bool = False,
+    remove_buildings: bool = True,
+) -> np.ndarray:
+    """Ground height grid H[x_idx, y_idx]; NO_DATA where no coverage."""
+    edge = int(np.floor(width / cell_size + 0.5))
+    if edge <= 0 or len(xyz) == 0:
+        return np.full((max(edge, 1), max(edge, 1)), NO_DATA, np.float32)
+    minz, has_data = _rasterize_min(xyz, min_x, min_y, cell_size, edge)
+
+    seed_cells = max(int(round(seed_cell_size / cell_size)), 1)
+    ground = np.zeros((edge, edge), bool)
+
+    def accept_block_minima(block: int, mask_region: np.ndarray):
+        """Mark the min-z cell of every block x block window as ground."""
+        for bi in range(0, edge, block):
+            for bj in range(0, edge, block):
+                sub = minz[bi : bi + block, bj : bj + block].copy()
+                dsub = has_data[bi : bi + block, bj : bj + block]
+                rsub = mask_region[bi : bi + block, bj : bj + block]
+                sel = dsub & rsub
+                if not sel.any():
+                    continue
+                sub[~sel] = np.inf
+                i, j = np.unravel_index(np.argmin(sub), sub.shape)
+                ground[bi + i, bj + j] = True
+
+    everywhere = np.ones((edge, edge), bool)
+    accept_block_minima(seed_cells, everywhere)
+    # boundary strips anchor the surface at the edges
+    bb = max(int(boundary_block_width), 1)
+    border = np.zeros((edge, edge), bool)
+    border[:bb, :] = border[-bb:, :] = True
+    border[:, :bb] = border[:, -bb:] = True
+    accept_block_minima(max(seed_cells // 4, 1), border)
+
+    if remove_buildings:
+        block = seed_cells // 2
+        while block >= 1:
+            surf = _pull_push_fill(minz, ground)
+            tol = 0.3 + 0.05 * block * cell_size
+            candidate = has_data & ~ground & (np.abs(minz - surf) <= tol)
+            ground |= candidate
+            if block == 1:
+                break
+            block //= 2
+    else:
+        ground = has_data.copy()
+
+    if not ground.any():
+        return np.full((edge, edge), NO_DATA, np.float32)
+    surface = _pull_push_fill(minz, ground)
+
+    # no-data outside coverage: cells farther than a few cells from any data
+    coverage = _dilate(has_data, iters=3)
+    out = np.where(coverage, surface, NO_DATA)
+
+    if detect_water:
+        out = _fill_water_holes(out, has_data)
+    return out.astype(np.float32)
+
+
+def _dilate(mask: np.ndarray, iters: int) -> np.ndarray:
+    m = mask.copy()
+    for _ in range(iters):
+        p = np.pad(m, 1)
+        m = (
+            p[1:-1, 1:-1] | p[:-2, 1:-1] | p[2:, 1:-1]
+            | p[1:-1, :-2] | p[1:-1, 2:]
+        )
+    return m
+
+
+def _fill_water_holes(grid: np.ndarray, has_data: np.ndarray) -> np.ndarray:
+    """Interior no-data holes -> min height of the hole's boundary ring."""
+    out = grid.copy()
+    hole = (grid == NO_DATA)
+    if not hole.any():
+        return out
+    ring = _dilate(~hole, 1) & hole
+    if not (~hole).any():
+        return out
+    # simple flood: assign every hole cell the min of adjacent valid ring
+    # heights, iterating inward
+    for _ in range(max(grid.shape)):
+        p = np.pad(out, 1, constant_values=NO_DATA)
+        neigh = np.stack([
+            p[:-2, 1:-1], p[2:, 1:-1], p[1:-1, :-2], p[1:-1, 2:]
+        ])
+        neigh = np.where(neigh == NO_DATA, np.inf, neigh)
+        fill = neigh.min(axis=0)
+        upd = (out == NO_DATA) & np.isfinite(fill)
+        if not upd.any():
+            break
+        out[upd] = fill[upd]
+    return out
+
+
+def _native_binary() -> str | None:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cand = os.path.join(here, "native", "dtmgen", "dtmgen")
+    return cand if os.path.exists(cand) else None
+
+
+def build_dtm(
+    pc: np.ndarray,
+    module_path: str = "",
+    cell_size: float = 1.0,
+    desired_seed_cell_size: float = 90.0,
+    boundary_block_width: int = 5,
+    detect_water: bool = False,
+    remove_buildings: bool = True,
+    output_tin_file_path: str | None = None,
+    dtm_buffer: float = 6.0,
+    use_native: bool | None = None,
+) -> np.ndarray:
+    """Ground points (M, 3) for a cloud — reference API
+    (/root/reference/prepare_data/dtm.py:22-138).
+
+    Region: square of width max(x-extent, y-extent) from the buffered
+    floor/ceil bounds (the reference's max_y-from-max_x typo at dtm.py:76
+    is intended-semantics-fixed). Uses the native ``dtmgen`` binary over
+    the reference's exact text/dat protocol when built (or when
+    ``module_path`` points at one), else the in-process numpy
+    implementation of the same algorithm.
+    """
+    pc = np.asarray(pc)
+    if pc.shape[0] == 0:
+        return np.zeros((0, 3))
+    min_x = float(np.floor(pc[:, 0].min()) - dtm_buffer)
+    max_x = float(np.ceil(pc[:, 0].max()) + dtm_buffer)
+    min_y = float(np.floor(pc[:, 1].min()) - dtm_buffer)
+    max_y = float(np.ceil(pc[:, 1].max()) + dtm_buffer)
+    width = max(max_x - min_x, max_y - min_y)
+    edge = int(np.floor(width / cell_size + 0.5))
+
+    binary = (
+        os.path.join(module_path, "DTMGeneration") if module_path else None
+    )
+    if binary is None or not os.path.exists(binary):
+        binary = _native_binary()
+    if use_native is False:
+        binary = None
+
+    if binary is not None:
+        grid = _run_dtm_binary(
+            binary, pc, min_x, min_y, width, cell_size,
+            desired_seed_cell_size, boundary_block_width, detect_water,
+            remove_buildings, output_tin_file_path,
+        )
+        if grid is None:
+            grid = dtm_grid(pc[:, :3], min_x, min_y, width, cell_size,
+                            desired_seed_cell_size, boundary_block_width,
+                            detect_water, remove_buildings)
+    else:
+        grid = dtm_grid(pc[:, :3], min_x, min_y, width, cell_size,
+                        desired_seed_cell_size, boundary_block_width,
+                        detect_water, remove_buildings)
+
+    xs = min_x + np.arange(edge) * cell_size
+    ys = min_y + np.arange(edge) * cell_size
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    pts = np.stack([gx.ravel(), gy.ravel(), grid.ravel()], axis=1)
+    return pts[pts[:, 2] != NO_DATA]
+
+
+def _run_dtm_binary(
+    binary, pc, min_x, min_y, width, cell_size, seed, bb, water, buildings,
+    tin_path,
+) -> np.ndarray | None:
+    """Spawn dtmgen/DTMGeneration with the reference CLI
+    (/root/reference/prepare_data/dtm.py:86-95) and read the .dat grid."""
+    edge = int(np.floor(width / cell_size + 0.5))
+    with tempfile.TemporaryDirectory() as tmp:
+        pts_path = os.path.join(tmp, "temp.txt")
+        region_path = os.path.join(tmp, "regions.txt")
+        outdir = os.path.join(tmp, "output")
+        os.makedirs(outdir, exist_ok=True)
+        np.savetxt(pts_path, pc)
+        with open(region_path, "w") as f:
+            f.write(f"{min_x} {min_y} {min_x + width} {min_y + width}")
+        cmd = [
+            binary, pts_path, outdir, region_path,
+            str(cell_size), str(seed), str(bb),
+            "true" if water else "false",
+            "true" if buildings else "false",
+            "true" if tin_path else "false",
+        ]
+        try:
+            subprocess.run(cmd, capture_output=True, timeout=600, check=True)
+        except Exception as e:
+            print(f"dtm binary failed ({e}); falling back to numpy")
+            return None
+        dat = os.path.join(outdir, f"dtm_{int(min_x)}_{int(min_y)}.dat")
+        if not os.path.exists(dat):
+            return None
+        heights = np.fromfile(dat, dtype=np.float32)
+        if heights.size != edge * edge:
+            return None
+        if tin_path:
+            import shutil
+
+            tin = os.path.join(outdir, f"tin_{int(min_x)}_{int(min_y)}.ply")
+            if os.path.exists(tin):
+                os.makedirs(tin_path, exist_ok=True)
+                shutil.copy(tin, tin_path)
+        # file layout: index col*edge + row holds H[row=x_i, col=y_i]
+        # (/root/reference/prepare_data/dtm.py:115-122)
+        return heights.reshape(edge, edge, order="F")
+
+
+def gen_agl(dtm: np.ndarray, pc: np.ndarray, k: int = 4) -> np.ndarray:
+    """AGL per point: z minus the mean of the k nearest DTM heights in XY
+    (/root/reference/prepare_data/dtm.py:140-160)."""
+    dtm = np.asarray(dtm)
+    if dtm.shape[0] == 0:
+        return np.zeros(pc.shape[0])
+    from scipy.spatial import cKDTree
+
+    k = min(k, dtm.shape[0])
+    tree = cKDTree(dtm[:, :2])
+    _, idx = tree.query(pc[:, :2], k=k, workers=-1)
+    if k == 1:
+        idx = idx[:, None]
+    return pc[:, 2] - dtm[idx, 2].mean(axis=1)

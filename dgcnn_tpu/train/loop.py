@@ -1,0 +1,244 @@
+"""The training driver — reference ``train()`` semantics, TPU executor.
+
+Mirrors /root/reference/train.py:18-318 (keyword surface included) with the
+intended-semantics fixes documented in SURVEY.md §2:
+
+* the LR schedule actually steps (per epoch);
+* loss on logits over class-balance-masked points (no double softmax, no
+  synthetic ignore-class channel);
+* metrics from on-device confusion matrices (one scatter-add per step)
+  instead of per-batch host sklearn;
+* checkpoint = whole TrainState (params, BN stats, optimizer state, PRNG,
+  step) — best-balanced-accuracy-only policy with epoch resume.
+
+Distribution: when more than one device is visible the batch is sharded
+over the mesh 'data' axis and the jitted step lets XLA insert the psums.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Sequence
+
+import jax
+import numpy as np
+
+from dgcnn_tpu.data.dataset import FugroDataset
+from dgcnn_tpu.models.dgcnn import DGCNNConfig, count_parameters
+from dgcnn_tpu.ops.metrics import (
+    accuracy_from_confusion,
+    balanced_accuracy_from_confusion,
+)
+from dgcnn_tpu.train.checkpoint import save_checkpoint, try_resume
+from dgcnn_tpu.train.steps import (
+    init_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from dgcnn_tpu.utils.logging import IOStream, ScalarWriter
+
+
+def _device_put_sharded(batch_arrays, mesh):
+    if mesh is None:
+        return batch_arrays
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P("data"))
+    return tuple(jax.device_put(a, shard) for a in batch_arrays)
+
+
+def train(
+    k: int,
+    io: IOStream,
+    data_dir: str = "",
+    num_points: int = 7000,
+    epochs: int = 30,
+    num_classes: int = 5,
+    num_features: int = 4,
+    train_batch_size: int = 8,
+    validation_batch_size: int = 8,
+    use_sgd: bool = False,
+    lr: float = 0.001,
+    momentum: float = 0.9,
+    dropout: float = 0.5,
+    emb_dims: int = 1024,
+    scheduler: str = "cos",
+    validation_prop: float = 0.2,
+    use_all_points: bool = False,
+    model_label: str = "dgcnn_model",
+    exclude_classes: Sequence[int] = (),
+    model_root: str = "checkpoints/dgcnn",
+    exp_name: str = "DGCNN_Training",
+    tb_dir: str = "tensorboard_logs",
+    seed: int = 1,
+    knn_impl: str = "xla",
+    compute_dtype: str | None = None,
+    data_parallel: bool = True,
+    smoothing: bool = True,
+) -> dict:
+    """Train a DGCNN. Returns a summary dict (best balanced accuracy etc.).
+
+    Keyword surface follows /root/reference/train.py:18-41 (cuda/thread
+    knobs dropped — device selection is JAX's; seed/knn_impl/compute_dtype
+    added).
+    """
+    cfg = DGCNNConfig(
+        num_classes=num_classes,
+        num_features=num_features,
+        k=k,
+        dropout=dropout,
+        emb_dims=emb_dims,
+        knn_impl=knn_impl,
+        compute_dtype=compute_dtype,
+    )
+    train_data = FugroDataset(
+        "train", data_dir, num_point=num_points,
+        use_all_points=use_all_points, validation_prop=validation_prop,
+        classes=range(num_classes), seed=seed,
+    )
+    val_data = FugroDataset(
+        "validation", data_dir, num_point=num_points,
+        validation_prop=validation_prop, classes=range(num_classes),
+        seed=seed,
+    )
+    io.cprint(f"Totally {len(train_data)} samples in train set.")
+    io.cprint(f"Totally {len(val_data)} samples in validation set.")
+
+    steps_per_epoch = max(len(train_data) // train_batch_size, 1)
+    tx = make_optimizer(
+        use_sgd=use_sgd, lr=lr, momentum=momentum, scheduler=scheduler,
+        epochs=epochs, steps_per_epoch=steps_per_epoch,
+    )
+    io.cprint("Use SGD" if use_sgd else "Use Adam")
+    state = init_train_state(jax.random.key(seed), cfg, tx)
+    total, table = count_parameters(state.params)
+    io.cprint(table)
+
+    mesh = None
+    if data_parallel and len(jax.devices()) > 1:
+        from dgcnn_tpu.parallel.mesh import make_mesh, replicated_sharding
+
+        n_dev = len(jax.devices())
+        if train_batch_size % n_dev == 0:
+            mesh = make_mesh(n_data=n_dev)
+            state = jax.device_put(state, replicated_sharding(mesh))
+            io.cprint(f"data-parallel over {n_dev} devices")
+
+    ckpt_path = os.path.join(model_root, f"{model_label}.npz")
+    start_epoch, best_bacc = 0, 0.0
+    resumed = try_resume(ckpt_path, state)
+    if resumed is not None:
+        state, meta = resumed
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        best_bacc = float(meta.get("mBPCA", 0.0))
+        io.cprint("Use pretrained model")
+    else:
+        io.cprint("No existing model, starting training from scratch...")
+
+    train_step = make_train_step(cfg, tx, smoothing=smoothing)
+    eval_step = make_eval_step(cfg, smoothing=smoothing)
+    writer = ScalarWriter(os.path.join(tb_dir, exp_name))
+
+    exclude = tuple(int(c) for c in exclude_classes if int(c) >= 0)
+    summary = {}
+    niter = start_epoch * steps_per_epoch * train_batch_size
+    for epoch in range(start_epoch, epochs):
+        t0 = time.time()
+        cm_sum = np.zeros((num_classes, num_classes))
+        loss_sum, count = 0.0, 0
+        for batch in train_data.batches(
+            train_batch_size, epoch=epoch, exclude_classes=exclude
+        ):
+            pts, labels, mask = _device_put_sharded(
+                (batch.points, batch.labels, batch.mask), mesh
+            )
+            state, metrics = train_step(state, pts, labels, mask)
+            loss = float(metrics["loss"])
+            cm_sum += np.asarray(metrics["confusion"])
+            loss_sum += loss * len(batch.points)
+            count += len(batch.points)
+            niter += len(batch.points)
+            writer.add_scalar("Train/loss", loss, niter)
+        train_acc = float(accuracy_from_confusion(cm_sum))
+        train_bacc = float(balanced_accuracy_from_confusion(cm_sum))
+        io.cprint(
+            "Train %d, loss: %.6f, train acc: %.6f, train avg acc: %.6f"
+            % (epoch, loss_sum / max(count, 1), train_acc, train_bacc)
+        )
+        writer.add_scalar("Train/accuracy", train_acc, epoch)
+        writer.add_scalar("Train/balanced_accuracy", train_bacc, epoch)
+
+        # validation
+        cm_sum = np.zeros((num_classes, num_classes))
+        loss_sum, count = 0.0, 0
+        for batch in val_data.batches(
+            validation_batch_size, epoch=epoch, with_mask=False,
+            shuffle=False, drop_last=False,
+        ):
+            pts, labels, _ = _device_put_sharded(
+                (batch.points, batch.labels, batch.mask), mesh
+            )
+            out = eval_step(state.params, state.bn_state, pts, labels)
+            cm_sum += np.asarray(out["confusion"])
+            loss_sum += float(out["loss"]) * len(batch.points)
+            count += len(batch.points)
+        val_acc = float(accuracy_from_confusion(cm_sum))
+        val_bacc = float(balanced_accuracy_from_confusion(cm_sum))
+        io.cprint(
+            "Test %d, loss: %.6f, test acc: %.6f, test avg acc: %.6f"
+            % (epoch, loss_sum / max(count, 1), val_acc, val_bacc)
+        )
+        writer.add_scalar("Test/accuracy", val_acc, epoch)
+        writer.add_scalar("Test/balanced_accuracy", val_bacc, epoch)
+        writer.add_scalar("epoch_seconds", time.time() - t0, epoch)
+
+        if val_bacc > best_bacc:
+            best_bacc = val_bacc
+            io.cprint(f"Saving the best model at {ckpt_path}")
+            save_checkpoint(ckpt_path, state, epoch=epoch, mBPCA=best_bacc)
+        summary = {
+            "epoch": epoch,
+            "best_balanced_accuracy": best_bacc,
+            "val_accuracy": val_acc,
+            "val_balanced_accuracy": val_bacc,
+            "params": total,
+        }
+    writer.close()
+    return summary
+
+
+def train_args(args, io: IOStream) -> dict:
+    """CLI adapter (/root/reference/train.py:320-356)."""
+    if isinstance(args.exclude_classes, list):
+        exclude = [i for i in args.exclude_classes if i >= 0]
+    else:
+        exclude = []
+    return train(
+        args.k,
+        io,
+        data_dir=args.data_dir,
+        num_points=args.num_points,
+        epochs=args.epochs,
+        num_classes=args.num_classes,
+        num_features=args.num_features,
+        train_batch_size=args.batch_size,
+        validation_batch_size=args.validation_batch_size,
+        use_sgd=args.use_sgd,
+        lr=args.lr,
+        momentum=args.momentum,
+        dropout=args.dropout,
+        emb_dims=args.emb_dims,
+        scheduler=args.scheduler,
+        validation_prop=args.validation_prop,
+        use_all_points=args.use_all_points,
+        model_label=args.model_label,
+        exclude_classes=exclude,
+        model_root=args.model_root,
+        exp_name=args.exp_name,
+        tb_dir=args.tb_dir,
+        seed=args.seed,
+        knn_impl=getattr(args, "knn_impl", "xla"),
+        compute_dtype=getattr(args, "compute_dtype", None),
+    )

@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""CLI front-end — flag-compatible with the reference's main.py.
+
+Modes (/root/reference/main.py:119-136):
+  --mode classifier --eval 0   train a DGCNN           (train_args)
+  --mode classifier --eval 1   evaluate a checkpoint    (test_args)
+  --mode classifier --predict <las>  whole-cloud LAS->LAS prediction
+  --mode process_data          offline dataset assembly (process_data)
+
+Flag names follow /root/reference/main.py:43-102 (boolean flags use a real
+str2bool parser instead of the reference's ``type=bool`` truthy-string
+trap). TPU-specific additions: --knn_impl {xla,approx,pallas},
+--compute_dtype, --predict/--predict_out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+ROOT_DIR = os.path.dirname(os.path.abspath(__file__))
+CLASS_MAP_FILE = os.path.join(ROOT_DIR, "params", "class_map.json")
+
+
+def str2bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    if str(v).lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if str(v).lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DGCNN-TPU Interface")
+    AREA = "Training"
+    BASE_DIR = os.path.join(os.getcwd(), "Datasets")
+
+    # interface
+    p.add_argument("--eval", type=str2bool, default=False)
+    p.add_argument("--mode", type=str, default="classifier",
+                   choices=["classifier", "process_data"])
+    p.add_argument("--predict", type=str, default="",
+                   help="point cloud file for whole-cloud prediction")
+    p.add_argument("--predict_out", type=str, default="pc_pred.las")
+
+    # train/test
+    p.add_argument("--data_dir", type=str, default="")
+    p.add_argument("--tb_dir", type=str, default="log_tensorboard")
+    p.add_argument("--exp_name", type=str, default="dgcnn_tpu")
+    p.add_argument("--model", type=str, default="dgcnn", choices=["dgcnn"])
+    p.add_argument("--block_size", type=float, default=30.0)
+    p.add_argument("--num_classes", type=int, default=5)
+    p.add_argument("--num_features", type=int, default=3)
+    p.add_argument("--validation_area", type=str, default="1")
+    p.add_argument("--batch_size", type=int, default=12)
+    p.add_argument("--validation_batch_size", type=int, default=12)
+    p.add_argument("--test_batch_size", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--use_sgd", type=str2bool, default=False)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--scheduler", type=str, default="cos",
+                   choices=["cos", "step", "none"])
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--emb_dims", type=int, default=1024)
+    p.add_argument("--k", type=int, default=20)
+    p.add_argument("--model_root", type=str, default="checkpoints/dgcnn")
+    p.add_argument("--test_visu_dir", default="predict")
+    p.add_argument("--validation_prop", type=float, default=0.2)
+    p.add_argument("--sample_num", type=int, default=5)
+    p.add_argument("--exclude_classes", nargs="*", type=int, default=[-1])
+    p.add_argument("--min_class_num", type=int, default=100)
+    p.add_argument("--model_label", type=str, default="dgcnn_model")
+    p.add_argument("--min_class_confidence", type=float, default=0.8)
+
+    # TPU knobs
+    p.add_argument("--knn_impl", type=str, default="xla",
+                   choices=["xla", "approx", "pallas"])
+    p.add_argument("--compute_dtype", type=str, default=None)
+
+    # preprocessing
+    p.add_argument("--base_dir", type=str, default=os.path.join(BASE_DIR, AREA))
+    p.add_argument("--root_dir", type=str, default=ROOT_DIR)
+    p.add_argument("--area", type=str, default=AREA)
+    p.add_argument("--pc_folder", type=str, default="")
+    p.add_argument("--data_folder", type=str, default="data")
+    p.add_argument("--processed_data_folder", type=str,
+                   default=os.path.join(BASE_DIR, AREA, "processed"))
+    p.add_argument("--categories_file", type=str,
+                   default=os.path.join(ROOT_DIR, "params/categories.json"))
+    p.add_argument("--features_file", type=str,
+                   default=os.path.join(ROOT_DIR, "params/features.json"))
+    p.add_argument("--class_map_file", type=str, default=CLASS_MAP_FILE)
+    p.add_argument("--features_output", nargs="*", type=str,
+                   default=["x", "y", "z", "agl"])
+    p.add_argument("--npy_data_folder", type=str,
+                   default=os.path.join(BASE_DIR, "data_as_S3DIS_NRI_NPY"))
+    p.add_argument("--calc_agl", type=str2bool, default=True)
+    p.add_argument("--cell_size", type=float, default=1)
+    p.add_argument("--desired_seed_cell_size", type=float, default=90)
+    p.add_argument("--boundary_block_width", type=int, default=5)
+    p.add_argument("--detect_water", type=str2bool, default=False)
+    p.add_argument("--remove_buildings", type=str2bool, default=True)
+    p.add_argument("--output_tin_file_path", type=str, default=None)
+    p.add_argument("--dtm_buffer", type=float, default=6)
+    p.add_argument("--dtm_module_path", type=str, default="")
+    p.add_argument("--num_points", type=int, default=7000)
+    p.add_argument("--sub_block_size", type=float, default=30)
+    p.add_argument("--use_all_points", type=str2bool, default=False)
+    p.add_argument("--sub_sample_num", type=int, default=5)
+    p.add_argument("--n_tries", type=int, default=10)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from dgcnn_tpu.utils.logging import IOStream
+
+    os.makedirs(f"checkpoints/{args.exp_name}/models", exist_ok=True)
+    io = IOStream(f"checkpoints/{args.exp_name}/run.log")
+    io.cprint(str(args))
+
+    if args.mode == "classifier":
+        if args.predict:
+            from dgcnn_tpu.eval.predict import predict
+
+            predict(
+                args.k, io, args.predict, args.predict_out,
+                num_points=args.num_points, block_size=args.block_size,
+                num_classes=args.num_classes, num_features=args.num_features,
+                dropout=args.dropout, emb_dims=args.emb_dims,
+                min_class_confidence=args.min_class_confidence,
+                model_label=args.model_label, model_root=args.model_root,
+                knn_impl=args.knn_impl, compute_dtype=args.compute_dtype,
+            )
+        elif not args.eval:
+            from dgcnn_tpu.train.loop import train_args
+
+            train_args(args, io)
+        else:
+            from dgcnn_tpu.eval.test import test_args
+
+            test_args(args, io)
+    elif args.mode == "process_data":
+        from dgcnn_tpu.prepare.pipeline import process_data
+
+        process_data(
+            args.base_dir, args.root_dir, args.pc_folder, args.data_folder,
+            args.processed_data_folder, args.npy_data_folder, args.area,
+            args.categories_file, args.features_file, args.features_output,
+            args.block_size, args.sample_num, args.min_class_num,
+            args.class_map_file, args.calc_agl, args.cell_size,
+            args.desired_seed_cell_size, args.boundary_block_width,
+            args.detect_water, args.remove_buildings,
+            args.output_tin_file_path, args.dtm_buffer, args.dtm_module_path,
+            args.num_points, args.sub_block_size, args.use_all_points,
+            args.sub_sample_num, args.n_tries, seed=args.seed,
+        )
+    else:
+        raise SystemExit(f"Invalid operation mode {args.mode!r}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""DTM / AGL tests: synthetic terrain golden values, building removal,
+numpy-vs-native-binary agreement, AGL on a plane
+(/root/reference/prepare_data/dtm.py semantics)."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from dgcnn_tpu.prepare.dtm import (
+    NO_DATA,
+    build_dtm,
+    dtm_grid,
+    gen_agl,
+)
+
+DTMGEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "native", "dtmgen", "dtmgen",
+)
+
+
+def synthetic_scene(rng, n=20000, extent=60.0, with_building=True):
+    """Sloped terrain + optional 10x10 m 'building' 8 m above ground +
+    scattered 'vegetation' returns above ground."""
+    xy = rng.random((n, 2)) * extent
+    ground_z = 0.05 * xy[:, 0] + 0.02 * xy[:, 1]  # gentle slope
+    z = ground_z + rng.normal(0, 0.03, n)
+    # vegetation: 20% of points lifted 1-15 m
+    veg = rng.random(n) < 0.2
+    z[veg] += rng.random(veg.sum()) * 15 + 1
+    if with_building:
+        inb = (xy[:, 0] > 20) & (xy[:, 0] < 30) & (xy[:, 1] > 20) & (xy[:, 1] < 30)
+        z[inb] = ground_z[inb] + 8.0  # roof returns only
+    return np.column_stack([xy, z]), ground_z
+
+
+def test_dtm_grid_recovers_slope(rng):
+    pts, _ = synthetic_scene(rng, with_building=False)
+    grid = dtm_grid(pts, 0.0, 0.0, 60.0, cell_size=1.0, seed_cell_size=30.0)
+    edge = grid.shape[0]
+    xs = np.arange(edge) * 1.0
+    want = 0.05 * xs[:, None] + 0.02 * xs[None, :]
+    valid = grid != NO_DATA
+    assert valid.mean() > 0.9
+    err = np.abs(grid - want)[valid]
+    assert np.median(err) < 0.25, float(np.median(err))
+
+
+def test_dtm_removes_building(rng):
+    pts, _ = synthetic_scene(rng, with_building=True)
+    grid = dtm_grid(pts, 0.0, 0.0, 60.0, cell_size=1.0, seed_cell_size=30.0)
+    # inside the building footprint the DTM must stay near terrain (~1.2m),
+    # far below the 8 m roof
+    block = grid[21:29, 21:29]
+    want = 0.05 * np.arange(21, 29)[:, None] + 0.02 * np.arange(21, 29)[None, :]
+    valid = block != NO_DATA
+    assert valid.any()
+    assert np.median(np.abs(block - want)[valid]) < 1.5
+    assert np.max(block[valid] - want[valid]) < 4.0  # nowhere near the roof
+
+
+def test_dtm_keep_buildings_flag(rng):
+    pts, _ = synthetic_scene(rng, with_building=True)
+    grid = dtm_grid(pts, 0.0, 0.0, 60.0, cell_size=1.0,
+                    seed_cell_size=30.0, remove_buildings=False)
+    block = grid[22:28, 22:28]
+    want = 0.05 * 25 + 0.02 * 25
+    # without building removal the 'DTM' follows the roof minima
+    assert np.median(block[block != NO_DATA]) > want + 4.0
+
+
+def test_build_dtm_returns_ground_points(rng):
+    pts, _ = synthetic_scene(rng, n=5000, extent=30.0, with_building=False)
+    ground = build_dtm(pts, use_native=False, desired_seed_cell_size=15)
+    assert ground.shape[1] == 3
+    assert len(ground) > 100
+    # ground heights track the slope field at their own xy
+    want = 0.05 * ground[:, 0] + 0.02 * ground[:, 1]
+    assert np.median(np.abs(ground[:, 2] - want)) < 0.4
+
+
+def test_gen_agl_plane(rng):
+    # DTM = flat plane z=5; points 2 m above it have AGL 2
+    gx, gy = np.meshgrid(np.arange(20.0), np.arange(20.0), indexing="ij")
+    dtm = np.column_stack([gx.ravel(), gy.ravel(), np.full(400, 5.0)])
+    pc = np.column_stack([rng.random(50) * 19, rng.random(50) * 19,
+                          np.full(50, 7.0)])
+    agl = gen_agl(dtm, pc)
+    np.testing.assert_allclose(agl, 2.0, atol=1e-9)
+
+
+def test_gen_agl_empty_dtm():
+    agl = gen_agl(np.zeros((0, 3)), np.ones((5, 3)))
+    np.testing.assert_array_equal(agl, 0.0)
+
+
+@pytest.mark.skipif(not os.path.exists(DTMGEN), reason="dtmgen not built")
+def test_native_binary_matches_numpy(tmp_path, rng):
+    pts, _ = synthetic_scene(rng, n=8000, extent=40.0)
+    min_x = float(np.floor(pts[:, 0].min()) - 6)
+    min_y = float(np.floor(pts[:, 1].min()) - 6)
+    max_x = float(np.ceil(pts[:, 0].max()) + 6)
+    max_y = float(np.ceil(pts[:, 1].max()) + 6)
+    width = max(max_x - min_x, max_y - min_y)
+    edge = int(np.floor(width / 1.0 + 0.5))
+
+    pts_path = tmp_path / "pts.txt"
+    region_path = tmp_path / "region.txt"
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    np.savetxt(pts_path, pts)
+    region_path.write_text(f"{min_x} {min_y} {min_x+width} {min_y+width}")
+    subprocess.run(
+        [DTMGEN, str(pts_path), str(outdir), str(region_path),
+         "1", "30", "5", "false", "true", "false"],
+        check=True, capture_output=True, timeout=120,
+    )
+    dat = outdir / f"dtm_{int(min_x)}_{int(min_y)}.dat"
+    assert dat.exists()
+    native = np.fromfile(dat, np.float32).reshape(edge, edge, order="F")
+    ours = dtm_grid(pts, min_x, min_y, width, 1.0, 30.0, 5, False, True)
+    both_valid = (native != NO_DATA) & (ours != NO_DATA)
+    # identical algorithm, double-vs-float accumulation differences only
+    assert both_valid.mean() > 0.5
+    np.testing.assert_allclose(native[both_valid], ours[both_valid], atol=1e-3)
+    # no-data masks identical
+    np.testing.assert_array_equal(native == NO_DATA, ours == NO_DATA)
+
+
+@pytest.mark.skipif(not os.path.exists(DTMGEN), reason="dtmgen not built")
+def test_build_dtm_prefers_native(rng, monkeypatch):
+    pts, _ = synthetic_scene(rng, n=3000, extent=20.0, with_building=False)
+    a = build_dtm(pts, desired_seed_cell_size=10)   # native path
+    b = build_dtm(pts, use_native=False, desired_seed_cell_size=10)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a[:, 2], b[:, 2], atol=1e-3)

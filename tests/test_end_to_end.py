@@ -1,0 +1,235 @@
+"""End-to-end integration: synthetic LAS tile → process_data → .npy rooms →
+train → evaluate → whole-cloud predict → postprocess. The full reference
+lifecycle (SURVEY.md §0) on a small synthetic scene, CPU-only.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from dgcnn_tpu.io.las import read_las, write_las
+from dgcnn_tpu.utils.logging import IOStream
+
+K, NUM_POINTS, EMB = 6, 256, 32
+NUM_CLASSES = 3  # building=0, ground=1, vegetation=2 (params/class_map.json)
+
+
+def make_scene(rng, extent=80.0, n=60000):
+    """Terrain + buildings + vegetation with raw LAS classes 2/6/5."""
+    xy = rng.random((n, 2)) * extent
+    ground_z = 0.03 * xy[:, 0]
+    z = ground_z + rng.normal(0, 0.05, n)
+    cls = np.full(n, 2)  # ground
+    veg = rng.random(n) < 0.3
+    z[veg] += rng.random(veg.sum()) * 12 + 0.8
+    cls[veg] = 5
+    for bx, by in ((15, 15), (50, 30), (30, 60)):
+        inb = ((xy[:, 0] > bx) & (xy[:, 0] < bx + 12) &
+               (xy[:, 1] > by) & (xy[:, 1] < by + 12) & ~veg)
+        z[inb] = ground_z[inb] + 6.0
+        cls[inb] = 6
+    return xy[:, 0] + 5e5, xy[:, 1] + 6e6, z, cls
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("e2e")
+
+
+@pytest.fixture(scope="module")
+def scene_las(workdir):
+    rng = np.random.default_rng(42)
+    x, y, z, cls = make_scene(rng)
+    pc_dir = workdir / "raw"
+    pc_dir.mkdir()
+    write_las(str(pc_dir / "tile.las"), x, y, z, cls)
+    return pc_dir
+
+
+@pytest.fixture(scope="module")
+def processed(workdir, scene_las):
+    """process_data over the synthetic tile."""
+    import json
+
+    from dgcnn_tpu.prepare.pipeline import process_data
+
+    base = workdir / "base"
+    params = workdir / "params"
+    params.mkdir()
+    (params / "class_map.json").write_text(
+        json.dumps({"2": 1, "5": 2, "6": 0})
+    )
+    (params / "categories.json").write_text(
+        json.dumps({"1.0": "ground", "2.0": "vegetation", "0.0": "building"})
+    )
+    (params / "features.json").write_text(
+        json.dumps({"X": 0, "Y": 1, "Z": 2, "AGL": 3, "Class": 4})
+    )
+    npy_dir = base / "npy"
+    process_data(
+        base_dir=str(base),
+        root_folder=str(base),
+        pc_folder=str(scene_las),
+        data_folder=str(base / "data"),
+        processed_data_folder=str(base / "processed"),
+        npy_data_folder=str(npy_dir),
+        area="TestArea",
+        categories_file=str(params / "categories.json"),
+        features_file=str(params / "features.json"),
+        features_output=["x", "y", "z", "agl"],
+        block_size=40,
+        sample_num=2,
+        min_class_num=40,
+        class_map_file=str(params / "class_map.json"),
+        calc_agl=True,
+        cell_size=1,
+        desired_seed_cell_size=20,
+        boundary_block_width=3,
+        detect_water=False,
+        remove_buildings=True,
+        output_tin_file_path=None,
+        dtm_buffer=6,
+        dtm_module_path="",
+        num_points=NUM_POINTS,
+        sub_block_size=20,
+        use_all_points=False,
+        sub_sample_num=4,
+        n_tries=6,
+        seed=0,
+    )
+    return base, npy_dir
+
+
+def test_process_data_artifacts(processed):
+    base, npy_dir = processed
+    rooms = sorted(glob.glob(str(npy_dir / "*.npy")))
+    assert len(rooms) >= 4, rooms
+    room = np.load(rooms[0])
+    assert room.shape == (NUM_POINTS, 5)  # x y z agl label
+    labels = room[:, -1]
+    assert set(np.unique(labels)) <= {0.0, 1.0, 2.0}
+    # min-corner shift applied
+    assert room[:, 0].min() == pytest.approx(0.0, abs=1e-6)
+    # AGL sane: mostly >= -1 and buildings/vegetation well above 0
+    agl = room[:, 3]
+    assert np.median(agl[labels == 1]) == pytest.approx(0.0, abs=0.5)
+    assert agl[labels == 0].mean() > 2.0
+    # meta indexes written
+    assert os.path.exists(base / "meta" / "anno_paths.txt")
+    assert os.path.exists(base / "meta" / "all_data_label.txt")
+    # LAS sub-tiles written
+    assert glob.glob(str(base / "converted-pcs" / "Area_*.las"))
+
+
+@pytest.fixture(scope="module")
+def trained(processed, workdir):
+    from dgcnn_tpu.train.loop import train
+
+    base, npy_dir = processed
+    model_root = workdir / "ckpt"
+    io = IOStream(str(workdir / "train.log"))
+    summary = train(
+        K, io,
+        data_dir=str(npy_dir),
+        num_points=NUM_POINTS,
+        epochs=3,
+        num_classes=NUM_CLASSES,
+        num_features=4,
+        train_batch_size=2,
+        validation_batch_size=2,
+        lr=3e-3,
+        emb_dims=EMB,
+        scheduler="cos",
+        validation_prop=0.25,
+        model_root=str(model_root),
+        exp_name="e2e",
+        tb_dir=str(workdir / "tb"),
+        seed=1,
+        data_parallel=False,
+    )
+    return model_root, summary
+
+
+def test_training_produces_checkpoint_and_learns(trained):
+    model_root, summary = trained
+    assert os.path.exists(model_root / "dgcnn_model.npz")
+    assert summary["best_balanced_accuracy"] > 0.45, summary
+
+
+def test_training_resumes(trained, processed, workdir):
+    from dgcnn_tpu.train.loop import train
+
+    base, npy_dir = processed
+    model_root, _ = trained
+    io = IOStream(str(workdir / "resume.log"))
+    # same epochs -> resume loads epoch e, start_epoch > done -> no-op run
+    summary = train(
+        K, io, data_dir=str(npy_dir), num_points=NUM_POINTS, epochs=3,
+        num_classes=NUM_CLASSES, num_features=4, train_batch_size=2,
+        validation_batch_size=2, emb_dims=EMB,
+        model_root=str(model_root), exp_name="e2e_resume",
+        tb_dir=str(workdir / "tb2"), seed=1, data_parallel=False,
+    )
+    with open(workdir / "resume.log") as f:
+        assert "Use pretrained model" in f.read()
+
+
+def test_evaluation(trained, processed, workdir):
+    from dgcnn_tpu.eval.test import test as run_test
+
+    _, npy_dir = processed
+    model_root, _ = trained
+    io = IOStream(str(workdir / "test.log"))
+    pred_dir = workdir / "predict_dumps"
+    metrics = run_test(
+        K, io,
+        data_dir=str(npy_dir),
+        num_points=NUM_POINTS,
+        num_classes=NUM_CLASSES,
+        num_features=4,
+        test_batch_size=2,
+        emb_dims=EMB,
+        min_class_confidence=0.0,
+        model_root=str(model_root),
+        pred_dir=str(pred_dir),
+        test_area="1",
+        validation_prop=0.25,
+        seed=1,
+    )
+    assert metrics["accuracy"] > 0.4
+    dumps = glob.glob(str(pred_dir / "Area_1_room_*_pred_gt.txt"))
+    assert dumps
+    rows = np.loadtxt(dumps[0])
+    assert rows.shape[1] == 4  # x y z pred
+    truths = glob.glob(str(pred_dir / "Area_1_room_*_true_labels.txt"))
+    assert truths
+
+
+def test_whole_cloud_predict(trained, scene_las, workdir):
+    from dgcnn_tpu.eval.predict import predict
+
+    model_root, _ = trained
+    io = IOStream(str(workdir / "predict.log"))
+    out_las = workdir / "classified.las"
+    data, preds = predict(
+        K, io,
+        str(scene_las / "tile.las"),
+        str(out_las),
+        num_points=NUM_POINTS,
+        block_size=20.0,
+        num_classes=NUM_CLASSES,
+        num_features=4,
+        emb_dims=EMB,
+        min_class_confidence=0.0,
+        model_root=str(model_root),
+        batch_size=4,
+    )
+    assert len(data) == len(preds) > 0
+    assert set(np.unique(preds)) <= set(range(NUM_CLASSES)) | {31}
+    back = read_las(str(out_las))
+    assert len(back) == len(data)
+    # the model should label a decent share of points as ground in a scene
+    # that is ~half ground
+    assert (back.classification == 1).mean() > 0.2

@@ -1,0 +1,47 @@
+"""Pallas fused kNN kernel tests (interpreter mode on CPU): exact agreement
+with the XLA reference path, including tie order and padding edges."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgcnn_tpu.kernels.knn_pallas import knn_pallas
+from dgcnn_tpu.ops.knn import knn
+
+
+@pytest.mark.parametrize("shape,k", [
+    ((1, 128, 8), 5),       # aligned N
+    ((2, 200, 4), 7),       # unaligned N (pad path) + unaligned k
+    ((1, 384, 16), 16),     # k multiple of 8
+    ((2, 100, 3), 30),      # C below pad, k large vs N
+])
+def test_pallas_matches_xla_exact(shape, k, rng):
+    x = jnp.asarray(rng.integers(0, 25, shape).astype(np.float32))
+    want = np.asarray(knn(x, k, query_chunk=None))
+    got = np.asarray(knn_pallas(x, k, query_tile=128, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_self_first(rng):
+    x = jnp.asarray(rng.standard_normal((2, 160, 6)).astype(np.float32))
+    idx = np.asarray(knn_pallas(x, 4, query_tile=64, interpret=True))
+    np.testing.assert_array_equal(
+        idx[..., 0], np.broadcast_to(np.arange(160), (2, 160))
+    )
+
+
+def test_pallas_tie_breaking_duplicates(rng):
+    # duplicated points create exact score ties; order must match lax.top_k
+    base = rng.integers(0, 10, (1, 64, 4)).astype(np.float32)
+    x = jnp.asarray(np.concatenate([base, base[:, :32]], axis=1))
+    want = np.asarray(knn(x, 6, query_chunk=None))
+    got = np.asarray(knn_pallas(x, 6, query_tile=32, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_query_tile_invariance(rng):
+    x = jnp.asarray(rng.integers(0, 30, (1, 192, 5)).astype(np.float32))
+    a = np.asarray(knn_pallas(x, 9, query_tile=64, interpret=True))
+    b = np.asarray(knn_pallas(x, 9, query_tile=192, interpret=True))
+    np.testing.assert_array_equal(a, b)
