@@ -1,0 +1,89 @@
+"""Utility tests: IOStream, ScalarWriter, prefetch, timing harness, viz."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgcnn_tpu.data.prefetch import prefetch_to_device
+from dgcnn_tpu.utils.logging import IOStream, ScalarWriter
+from dgcnn_tpu.utils.profiling import StepTimer, measure
+
+
+def test_iostream(tmp_path, capsys):
+    path = str(tmp_path / "run.log")
+    with IOStream(path) as io:
+        io.cprint("hello")
+        io.cprint("world")
+    assert capsys.readouterr().out == "hello\nworld\n"
+    assert open(path).read() == "hello\nworld\n"
+
+
+def test_scalar_writer_jsonl(tmp_path):
+    w = ScalarWriter(str(tmp_path))
+    w.add_scalar("Train/loss", 0.5, 1)
+    w.add_scalar("Train/loss", 0.4, 2)
+    w.close()
+    import json
+
+    rows = [json.loads(l) for l in open(tmp_path / "scalars.jsonl")]
+    assert [r["value"] for r in rows] == [0.5, 0.4]
+
+
+def test_prefetch_order_and_transfer():
+    out = list(prefetch_to_device(range(10), transfer=lambda x: x * 2))
+    assert out == [i * 2 for i in range(10)]
+
+
+def test_prefetch_propagates_errors():
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = prefetch_to_device(gen())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)
+
+
+def test_measure_timing():
+    f = jax.jit(lambda x: jnp.sum(x * 2))
+    stats = measure(f, jnp.ones((64, 64)), iters=3)
+    assert stats["sec_per_call"] >= 0.0
+    assert stats["compile_s"] > 0.0
+
+
+def test_step_timer():
+    t = StepTimer()
+    for _ in range(5):
+        with t:
+            pass
+    s = t.summary()
+    assert s["steps"] == 5 and s["mean_s"] >= 0
+
+
+def test_viz_tsne_and_clusters(tmp_path, rng):
+    from dgcnn_tpu.models.dgcnn import DGCNNConfig, init_dgcnn
+    from dgcnn_tpu.viz.features import (
+        feature_tsne,
+        generate_feature_map_clusters,
+    )
+
+    cfg = DGCNNConfig(num_classes=3, num_features=4, k=5, emb_dims=16,
+                      knn_query_chunk=None)
+    params, state = init_dgcnn(jax.random.key(0), cfg)
+    block = rng.random((80, 4)).astype(np.float32) * 10
+    paths = feature_tsne(params, state, cfg, [block], depth=4,
+                         out_dir=str(tmp_path), perplexity=10, max_points=60)
+    assert len(paths) == 1 and os.path.exists(paths[0])
+    clusters = generate_feature_map_clusters(
+        params, state, cfg, block, str(tmp_path / "c.las"), depth=4,
+        eps=5.0, min_samples=3,
+    )
+    assert clusters.shape == (80,)
+    from dgcnn_tpu.io.las import read_las
+
+    back = read_las(str(tmp_path / "c.las"))
+    assert back.point_source_id is not None
