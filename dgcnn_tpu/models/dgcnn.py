@@ -152,10 +152,10 @@ def _mm(x: jax.Array, w: jax.Array, cdtype) -> jax.Array:
 
 
 def _knn(x: jax.Array, cfg: DGCNNConfig) -> jax.Array:
-    if cfg.knn_impl == "pallas":
+    if cfg.knn_impl in ("pallas", "pallas_packed"):
         from dgcnn_tpu.kernels.knn_pallas import knn_pallas
 
-        return knn_pallas(x, cfg.k)
+        return knn_pallas(x, cfg.k, packed=cfg.knn_impl == "pallas_packed")
     if cfg.knn_impl == "approx":
         return knn(x, cfg.k, query_chunk=cfg.knn_query_chunk, approx=True)
     if cfg.knn_impl != "xla":
