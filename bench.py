@@ -137,15 +137,118 @@ def get_baseline() -> float | None:
     return pps
 
 
+def bench_train_step() -> float | None:
+    """Train-step latency (s) at the headline config, approx-kNN impl."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from dgcnn_tpu.models.dgcnn import DGCNNConfig
+        from dgcnn_tpu.train.steps import (
+            init_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        cfg = DGCNNConfig(num_classes=C, num_features=F, k=K, emb_dims=EMB,
+                          knn_impl="approx")
+        tx = make_optimizer(lr=1e-3, epochs=30, steps_per_epoch=100)
+        state = init_train_state(jax.random.key(0), cfg, tx)
+        step = make_train_step(cfg, tx, donate=True)
+        pts = jax.random.normal(jax.random.key(1), (B, N, F))
+        labels = jax.random.randint(jax.random.key(2), (B, N), 0, C)
+        mask = jnp.ones((B, N))
+        state, m = step(state, pts, labels, mask)
+        float(m["loss"])
+        rt = _roundtrip_s()
+        t0 = time.perf_counter()
+        iters = 5
+        for _ in range(iters):
+            state, m = step(state, pts, labels, mask)
+            float(m["loss"])
+        per = (time.perf_counter() - t0) / iters - rt
+        log(f"train step (approx kNN): {per*1e3:.1f} ms "
+            f"= {B*N/per:,.0f} pts/s")
+        return per
+    except Exception as e:
+        log(f"train-step bench failed: {type(e).__name__}: {e}")
+        return None
+
+
+def bench_e2e_tile() -> dict | None:
+    """End-to-end tile latency: synthetic LAS -> DTM/AGL -> blocks ->
+    classified LAS (BASELINE.json 'end-to-end tile latency')."""
+    try:
+        import tempfile
+
+        import numpy as np
+
+        from dgcnn_tpu.eval.predict import predict
+        from dgcnn_tpu.io.las import write_las
+        from dgcnn_tpu.models.dgcnn import DGCNNConfig, init_dgcnn
+        from dgcnn_tpu.train.checkpoint import save_checkpoint
+        from dgcnn_tpu.train.steps import init_train_state, make_optimizer
+        from dgcnn_tpu.utils.logging import IOStream
+        import jax
+
+        rng = np.random.default_rng(0)
+        n = 400_000
+        xy = rng.random((n, 2)) * 100
+        z = 0.03 * xy[:, 0] + rng.normal(0, 0.05, n)
+        veg = rng.random(n) < 0.3
+        z[veg] += rng.random(int(veg.sum())) * 12
+        with tempfile.TemporaryDirectory() as tmp:
+            las = os.path.join(tmp, "tile.las")
+            write_las(las, xy[:, 0] + 5e5, xy[:, 1] + 6e6, z,
+                      rng.integers(0, 5, n))
+            cfg = DGCNNConfig(num_classes=C, num_features=F, k=K,
+                              emb_dims=EMB, knn_impl="approx")
+            tx = make_optimizer()
+            state = init_train_state(jax.random.key(0), cfg, tx)
+            save_checkpoint(os.path.join(tmp, "m.npz"), state, epoch=0,
+                            mBPCA=0.0)
+            io = IOStream(os.path.join(tmp, "log.txt"))
+            t0 = time.perf_counter()
+            data, preds = predict(
+                K, io, las, os.path.join(tmp, "out.las"),
+                num_points=N, block_size=30.0, num_classes=C,
+                num_features=F, emb_dims=EMB, model_label="m",
+                model_root=tmp, knn_impl="approx", batch_size=B,
+            )
+            dt = time.perf_counter() - t0
+        log(f"e2e tile LAS->labels: {dt:.1f} s for {n:,} raw points "
+            f"({len(data):,} classified)")
+        return {"seconds": dt, "raw_points": n, "classified": len(data)}
+    except Exception as e:
+        log(f"e2e bench failed: {type(e).__name__}: {e}")
+        return None
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="headline metric only (skip train/e2e diagnostics)")
+    args = ap.parse_args()
+
     results = bench_jax()
     baseline = get_baseline()
+    extras = {}
+    if not args.quick:
+        train_s = bench_train_step()
+        if train_s:
+            extras["train_step_ms"] = round(train_s * 1e3, 1)
+        e2e = bench_e2e_tile()
+        if e2e:
+            extras["e2e_tile_s"] = round(e2e["seconds"], 1)
     value = results["pallas-exact"]["points_per_sec"]
     out = {
         "metric": f"points_per_sec_chip_infer_N{N}_k{K} (exact kNN)",
         "value": round(value, 1),
         "unit": "points/s",
         "vs_baseline": round(value / baseline, 2) if baseline else None,
+        **({"extras": extras} if extras else {}),
     }
     print(json.dumps(out), flush=True)
 

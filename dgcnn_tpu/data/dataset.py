@@ -167,6 +167,16 @@ class FugroDataset:
             )
 
 
+def collate_pcs(data):
+    """Reference-signature collation (/root/reference/data.py:169-182):
+    takes [(points, labels, idx), ...] samples, truncates every sample to
+    the batch minimum point count by random subsampling. Returns numpy
+    (the reference returned torch tensors)."""
+    points, labels, idxs = zip(*data)
+    p, l, _ = collate(list(points), list(labels), mode="truncate")
+    return p, l, np.asarray(idxs)
+
+
 def collate(
     points: list[np.ndarray],
     labels: list[np.ndarray],

@@ -201,11 +201,65 @@ def _fill_water_holes(grid: np.ndarray, has_data: np.ndarray) -> np.ndarray:
     return out
 
 
-def _native_binary() -> str | None:
+def _native_dir() -> str:
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    cand = os.path.join(here, "native", "dtmgen", "dtmgen")
+    return os.path.join(here, "native", "dtmgen")
+
+
+def _native_binary() -> str | None:
+    cand = os.path.join(_native_dir(), "dtmgen")
     return cand if os.path.exists(cand) else None
+
+
+_LIB = None
+
+
+def _native_lib():
+    """ctypes handle to libdtmgen.so (fastest path: in-memory, no temp
+    files or text serialisation). None when not built."""
+    global _LIB
+    if _LIB is not None:
+        return _LIB or None
+    import ctypes
+
+    path = os.path.join(_native_dir(), "libdtmgen.so")
+    if not os.path.exists(path):
+        _LIB = False
+        return None
+    lib = ctypes.CDLL(path)
+    lib.dtmgen_compute.restype = ctypes.c_int
+    lib.dtmgen_compute.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    _LIB = lib
+    return lib
+
+
+def _dtm_grid_native(
+    xyz, min_x, min_y, width, cell_size, seed, bb, water, buildings
+) -> np.ndarray | None:
+    """Run the in-process native DTM via ctypes; None if lib unavailable."""
+    import ctypes
+
+    lib = _native_lib()
+    if lib is None:
+        return None
+    edge = int(np.floor(width / cell_size + 0.5))
+    pts = np.ascontiguousarray(xyz[:, :3], np.float64)
+    out = np.empty((edge, edge), np.float32)
+    got = lib.dtmgen_compute(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(pts), min_x, min_y, width, cell_size, seed, int(bb),
+        int(bool(water)), int(bool(buildings)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if got != edge:
+        return None
+    return out
 
 
 def build_dtm(
@@ -240,25 +294,32 @@ def build_dtm(
     width = max(max_x - min_x, max_y - min_y)
     edge = int(np.floor(width / cell_size + 0.5))
 
-    binary = (
+    grid = None
+    external = (
         os.path.join(module_path, "DTMGeneration") if module_path else None
     )
-    if binary is None or not os.path.exists(binary):
-        binary = _native_binary()
-    if use_native is False:
-        binary = None
-
-    if binary is not None:
+    if external and os.path.exists(external) and use_native is not False:
+        # user-supplied external binary: reference subprocess protocol
         grid = _run_dtm_binary(
-            binary, pc, min_x, min_y, width, cell_size,
+            external, pc, min_x, min_y, width, cell_size,
             desired_seed_cell_size, boundary_block_width, detect_water,
             remove_buildings, output_tin_file_path,
         )
-        if grid is None:
-            grid = dtm_grid(pc[:, :3], min_x, min_y, width, cell_size,
-                            desired_seed_cell_size, boundary_block_width,
-                            detect_water, remove_buildings)
-    else:
+    elif use_native is not False:
+        # in-process native library (no temp files / text round trip)
+        grid = _dtm_grid_native(
+            pc, min_x, min_y, width, cell_size, desired_seed_cell_size,
+            boundary_block_width, detect_water, remove_buildings,
+        )
+        if grid is None:  # lib not built: try the CLI binary
+            binary = _native_binary()
+            if binary is not None:
+                grid = _run_dtm_binary(
+                    binary, pc, min_x, min_y, width, cell_size,
+                    desired_seed_cell_size, boundary_block_width,
+                    detect_water, remove_buildings, output_tin_file_path,
+                )
+    if grid is None:
         grid = dtm_grid(pc[:, :3], min_x, min_y, width, cell_size,
                         desired_seed_cell_size, boundary_block_width,
                         detect_water, remove_buildings)

@@ -180,73 +180,22 @@ void FillWaterHoles(std::vector<float>* out, int edge) {
   }
 }
 
-}  // namespace
-
-int main(int argc, char** argv) {
-  if (argc < 10) {
-    std::fprintf(stderr,
-                 "usage: dtmgen <points.txt> <outdir> <region.txt> "
-                 "<cell> <seed_cell> <boundary_width> <water> <buildings> "
-                 "<tin_ply>\n");
-    return 2;
-  }
-  const std::string pts_path = argv[1];
-  const std::string outdir = argv[2];
-  const std::string region_path = argv[3];
-  const double cell = std::atof(argv[4]);
-  const double seed_cell = std::atof(argv[5]);
-  const int boundary_width = std::atoi(argv[6]);
-  const bool water = std::strcmp(argv[7], "true") == 0;
-  const bool buildings = std::strcmp(argv[8], "true") == 0;
-  const bool tin = std::strcmp(argv[9], "true") == 0;
-
-  double min_x, min_y, max_x, max_y;
-  {
-    std::ifstream rf(region_path);
-    if (!(rf >> min_x >> min_y >> max_x >> max_y)) {
-      std::fprintf(stderr, "dtmgen: cannot parse region %s\n",
-                   region_path.c_str());
-      return 2;
-    }
-  }
-  const double width = std::max(max_x - min_x, max_y - min_y);
-  const int edge = int(std::floor(width / cell + 0.5));
-  if (edge <= 0) {
-    std::fprintf(stderr, "dtmgen: empty region\n");
-    return 2;
-  }
-
+void ComputeDtm(const double* xyz, int64_t n, double min_x, double min_y,
+                double cell, int edge, double seed_cell, int boundary_width,
+                bool water, bool buildings, float* out /* row-major */) {
   Grid minz;
   minz.edge = edge;
   minz.v.assign(size_t(edge) * edge, kInf);
   Mask has_data;
   has_data.edge = edge;
   has_data.v.assign(size_t(edge) * edge, 0);
-  {
-    std::ifstream pf(pts_path);
-    if (!pf) {
-      std::fprintf(stderr, "dtmgen: cannot open %s\n", pts_path.c_str());
-      return 2;
-    }
-    std::string line;
-    while (std::getline(pf, line)) {
-      if (line.empty()) continue;
-      const char* s = line.c_str();
-      char* end = nullptr;
-      double x = std::strtod(s, &end);
-      if (end == s) continue;
-      s = end;
-      double y = std::strtod(s, &end);
-      if (end == s) continue;
-      s = end;
-      double z = std::strtod(s, &end);
-      if (end == s) continue;
-      int r = int(std::floor((x - min_x) / cell));
-      int c = int(std::floor((y - min_y) / cell));
-      if (r < 0 || c < 0 || r >= edge || c >= edge) continue;
-      if (z < minz.at(r, c)) minz.at(r, c) = z;
-      has_data.at(r, c) = 1;
-    }
+  for (int64_t i = 0; i < n; ++i) {
+    double x = xyz[i * 3], y = xyz[i * 3 + 1], z = xyz[i * 3 + 2];
+    int r = int(std::floor((x - min_x) / cell));
+    int c = int(std::floor((y - min_y) / cell));
+    if (r < 0 || c < 0 || r >= edge || c >= edge) continue;
+    if (z < minz.at(r, c)) minz.at(r, c) = z;
+    has_data.at(r, c) = 1;
   }
   for (auto& v : minz.v)
     if (v == kInf) v = 0.0;
@@ -286,16 +235,104 @@ int main(int argc, char** argv) {
     ground.v = has_data.v;
   }
 
-  std::vector<float> out(size_t(edge) * edge, kNoData);
+  std::fill(out, out + size_t(edge) * edge, kNoData);
   bool any_ground = false;
   for (auto g : ground.v) any_ground |= (g != 0);
   if (any_ground) {
     std::vector<double> surf = PullPushFill(minz, ground);
     Mask cover = Dilate(has_data, 3);
-    for (size_t i = 0; i < out.size(); ++i)
+    for (size_t i = 0; i < size_t(edge) * edge; ++i)
       if (cover.v[i]) out[i] = float(surf[i]);
-    if (water) FillWaterHoles(&out, edge);
+    if (water) {
+      std::vector<float> tmp(out, out + size_t(edge) * edge);
+      FillWaterHoles(&tmp, edge);
+      std::copy(tmp.begin(), tmp.end(), out);
+    }
   }
+}
+
+}  // namespace
+
+// In-memory API for ctypes binding (dgcnn_tpu/prepare/dtm.py): no temp
+// files, no text parsing. xyz is an (n, 3) row-major double array; out is a
+// preallocated edge*edge float32 buffer filled row-major (out[r*edge + c] =
+// height at x = min_x + r*cell, y = min_y + c*cell). Returns the edge size.
+extern "C" int dtmgen_compute(const double* xyz, int64_t n, double min_x,
+                              double min_y, double width, double cell,
+                              double seed_cell, int boundary_width,
+                              int detect_water, int remove_buildings,
+                              float* out) {
+  const int edge = int(std::floor(width / cell + 0.5));
+  if (edge <= 0) return 0;
+  ComputeDtm(xyz, n, min_x, min_y, cell, edge, seed_cell, boundary_width,
+             detect_water != 0, remove_buildings != 0, out);
+  return edge;
+}
+
+#ifndef DTMGEN_NO_MAIN
+int main(int argc, char** argv) {
+  if (argc < 10) {
+    std::fprintf(stderr,
+                 "usage: dtmgen <points.txt> <outdir> <region.txt> "
+                 "<cell> <seed_cell> <boundary_width> <water> <buildings> "
+                 "<tin_ply>\n");
+    return 2;
+  }
+  const std::string pts_path = argv[1];
+  const std::string outdir = argv[2];
+  const std::string region_path = argv[3];
+  const double cell = std::atof(argv[4]);
+  const double seed_cell = std::atof(argv[5]);
+  const int boundary_width = std::atoi(argv[6]);
+  const bool water = std::strcmp(argv[7], "true") == 0;
+  const bool buildings = std::strcmp(argv[8], "true") == 0;
+  const bool tin = std::strcmp(argv[9], "true") == 0;
+
+  double min_x, min_y, max_x, max_y;
+  {
+    std::ifstream rf(region_path);
+    if (!(rf >> min_x >> min_y >> max_x >> max_y)) {
+      std::fprintf(stderr, "dtmgen: cannot parse region %s\n",
+                   region_path.c_str());
+      return 2;
+    }
+  }
+  const double width = std::max(max_x - min_x, max_y - min_y);
+  const int edge = int(std::floor(width / cell + 0.5));
+  if (edge <= 0) {
+    std::fprintf(stderr, "dtmgen: empty region\n");
+    return 2;
+  }
+
+  std::vector<double> pts;  // x y z triplets
+  {
+    std::ifstream pf(pts_path);
+    if (!pf) {
+      std::fprintf(stderr, "dtmgen: cannot open %s\n", pts_path.c_str());
+      return 2;
+    }
+    std::string line;
+    while (std::getline(pf, line)) {
+      if (line.empty()) continue;
+      const char* s = line.c_str();
+      char* end = nullptr;
+      double x = std::strtod(s, &end);
+      if (end == s) continue;
+      s = end;
+      double y = std::strtod(s, &end);
+      if (end == s) continue;
+      s = end;
+      double z = std::strtod(s, &end);
+      if (end == s) continue;
+      pts.push_back(x);
+      pts.push_back(y);
+      pts.push_back(z);
+    }
+  }
+
+  std::vector<float> out(size_t(edge) * edge, kNoData);
+  ComputeDtm(pts.data(), int64_t(pts.size() / 3), min_x, min_y, cell, edge,
+             seed_cell, boundary_width, water, buildings, out.data());
 
   // write .dat: file[col*edge + row] = H[row, col]
   {
@@ -349,3 +386,4 @@ int main(int argc, char** argv) {
   }
   return 0;
 }
+#endif  // DTMGEN_NO_MAIN
