@@ -49,11 +49,20 @@ def predict(
     features_output: list[str] | None = None,
     dtm_kwargs: dict | None = None,
     seed: int = 0,
+    classify_all: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Classify a LAS/HDF5 point cloud end to end.
 
     Returns (data (M, F), predictions (M,)) over all tiled blocks and
     writes the merged classified LAS to ``pred_pointcloud_file``.
+
+    ``classify_all=False`` reproduces the reference behaviour
+    (/root/reference/test.py:281-285): each 30 m block is randomly
+    subsampled to ``num_points``, so only those points appear in the
+    output. ``classify_all=True`` instead partitions every block's full
+    point set into fixed-size chunks (last chunk padded by repetition) so
+    EVERY input point inside a populated block gets a label — same cost
+    per point, no dropped points.
     """
     cfg = DGCNNConfig(
         num_classes=num_classes, num_features=num_features, k=k,
@@ -81,11 +90,37 @@ def predict(
     else:
         data = np.hstack([data, agl[:, None]])
 
-    block_data, _ = room2blocks(
-        data, labels, num_points, block_size=block_size, stride=block_size,
-        random_sample=False, use_all_points=False,
-        rng=np.random.default_rng(seed),
-    )
+    rng = np.random.default_rng(seed)
+    if classify_all:
+        ragged, _ = room2blocks(
+            data, labels, num_points, block_size=block_size,
+            stride=block_size, random_sample=False, use_all_points=True,
+            rng=rng,
+        )
+        chunks, chunk_valid = [], []
+        for block in ragged:
+            order = rng.permutation(len(block))
+            for start in range(0, len(block), num_points):
+                sel = order[start : start + num_points]
+                n_real = len(sel)
+                if n_real < num_points:  # pad by repeating earlier points
+                    pad = rng.choice(order, num_points - n_real)
+                    sel = np.concatenate([sel, pad])
+                chunks.append(block[sel])
+                valid = np.zeros(num_points, bool)
+                valid[:n_real] = True
+                chunk_valid.append(valid)
+        block_data = (
+            np.stack(chunks) if chunks
+            else np.zeros((0, num_points, data.shape[1]))
+        )
+    else:
+        chunk_valid = None
+        block_data, _ = room2blocks(
+            data, labels, num_points, block_size=block_size,
+            stride=block_size, random_sample=False, use_all_points=False,
+            rng=rng,
+        )
     n_blocks = len(block_data)
     io.cprint(f"classifying {n_blocks} blocks of {num_points} points")
     if n_blocks == 0:
@@ -113,12 +148,13 @@ def predict(
     merged_pts = []
     merged_pred = []
     for i in range(n_blocks):
-        pts = block_data[i].astype(np.float64)
+        keep = chunk_valid[i] if chunk_valid is not None else slice(None)
+        pts = block_data[i][keep].astype(np.float64)
         merged_pts.append(pts)
-        merged_pred.append(all_pred[i])
+        merged_pred.append(all_pred[i][keep])
         if save_block_las:
             save_las_pointcloud(
-                pts, all_pred[i], f"pc_pred_{i + 1}.las",
+                pts, all_pred[i][keep], f"pc_pred_{i + 1}.las",
                 features_output=features_output, features=features,
             )
     out_data = np.vstack(merged_pts)

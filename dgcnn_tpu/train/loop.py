@@ -25,6 +25,7 @@ import jax
 import numpy as np
 
 from dgcnn_tpu.data.dataset import FugroDataset
+from dgcnn_tpu.data.prefetch import prefetch_to_device
 from dgcnn_tpu.models.dgcnn import DGCNNConfig, count_parameters
 from dgcnn_tpu.ops.metrics import (
     accuracy_from_confusion,
@@ -148,12 +149,17 @@ def train(
         t0 = time.time()
         cm_sum = np.zeros((num_classes, num_classes))
         loss_sum, count = 0.0, 0
-        for batch in train_data.batches(
-            train_batch_size, epoch=epoch, exclude_classes=exclude
-        ):
-            pts, labels, mask = _device_put_sharded(
-                (batch.points, batch.labels, batch.mask), mesh
-            )
+        batch_iter = prefetch_to_device(
+            train_data.batches(
+                train_batch_size, epoch=epoch, exclude_classes=exclude
+            ),
+            size=2,
+            transfer=lambda b: (
+                b,
+                _device_put_sharded((b.points, b.labels, b.mask), mesh),
+            ),
+        )
+        for batch, (pts, labels, mask) in batch_iter:
             state, metrics = train_step(state, pts, labels, mask)
             loss = float(metrics["loss"])
             cm_sum += np.asarray(metrics["confusion"])

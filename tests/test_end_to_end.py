@@ -233,3 +233,42 @@ def test_whole_cloud_predict(trained, scene_las, workdir):
     # the model should label a decent share of points as ground in a scene
     # that is ~half ground
     assert (back.classification == 1).mean() > 0.2
+
+
+def test_whole_cloud_predict_classify_all(trained, scene_las, workdir):
+    """classify_all=True must label every point of every populated block —
+    no subsample-and-drop, no duplicated pad points."""
+    from dgcnn_tpu.eval.predict import predict
+    from dgcnn_tpu.io.las import read_las as _read
+    from dgcnn_tpu.prepare.loaders import load_pointcloud
+
+    model_root, _ = trained
+    io = IOStream(str(workdir / "predict_all.log"))
+    out_las = workdir / "classified_all.las"
+    data, preds = predict(
+        K, io,
+        str(scene_las / "tile.las"),
+        str(out_las),
+        num_points=NUM_POINTS,
+        block_size=20.0,
+        num_classes=NUM_CLASSES,
+        num_features=4,
+        emb_dims=EMB,
+        min_class_confidence=0.0,
+        model_root=str(model_root),
+        batch_size=4,
+        classify_all=True,
+    )
+    raw, _ = load_pointcloud(
+        str(scene_las / "tile.las"),
+        features_output=["x", "y", "z", "agl"],
+        features={"x": 0, "y": 1, "z": 2, "agl": 3},
+    )
+    # all noise-filtered points that fall in a populated block are labelled;
+    # with a 20 m grid over an 80 m scene virtually everything is covered
+    assert len(data) > 0.95 * len(raw)
+    # no duplicates from chunk padding (a handful of window-boundary points
+    # legitimately land in two adjacent inclusive-bound blocks — reference
+    # window semantics, pointcloud_util.py:168-170)
+    n_dup = len(data) - len(np.unique(data[:, :2], axis=0))
+    assert n_dup < 0.001 * len(data), n_dup
