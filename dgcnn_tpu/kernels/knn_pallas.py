@@ -39,7 +39,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _knn_kernel_packed(
-    x_ref, q_ref, cnorm_ref, idx_ref, packed_scr, idx_scr, *, k_pad, n_pad
+    x_ref, q_ref, cnorm_ref, idx_ref, packed_scr, idx_scr, *, k_pad, n_pad,
+    unroll=1,
 ):
     """Packed-key variant: each score is collapsed to a single int32 key —
     the float's order-preserving integer transform truncated to its top 19
@@ -76,7 +77,7 @@ def _knn_kernel_packed(
         packed_scr[:] = jnp.where(p == m, neg_inf, p)
         return ()
 
-    jax.lax.fori_loop(0, k_pad, body, (), unroll=False)
+    jax.lax.fori_loop(0, k_pad, body, (), unroll=unroll)
     idx_ref[0] = idx_scr[:]
 
 

@@ -163,6 +163,7 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+@functools.lru_cache(maxsize=32)
 def make_eval_step(cfg: DGCNNConfig, *, smoothing: bool = True) -> Callable:
     """Jitted eval step: running-stat BN, loss on logits, full-point
     confusion matrix (reference validation loop /root/reference/
@@ -182,6 +183,7 @@ def make_eval_step(cfg: DGCNNConfig, *, smoothing: bool = True) -> Callable:
     return step
 
 
+@functools.lru_cache(maxsize=32)
 def make_predict_step(
     cfg: DGCNNConfig, *, min_class_confidence: float = 0.8,
     unclassified: int = 31,
