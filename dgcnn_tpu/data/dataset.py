@@ -182,6 +182,7 @@ def collate(
     labels: list[np.ndarray],
     mode: str = "pad",
     rng: np.random.Generator | None = None,
+    pad_multiple: int = 1,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batch ragged samples into one fixed-shape array.
 
@@ -189,7 +190,9 @@ def collate(
     subsample of every sample down to the smallest count — changes batch
     statistics). mode='pad' (default) pads to the largest count by
     repeating each sample's first point and returns a validity mask —
-    the XLA-friendly lossless choice.
+    the XLA-friendly lossless choice. ``pad_multiple`` rounds the padded
+    size up (e.g. 512) so ragged use_all_points batches hit few distinct
+    XLA shapes instead of recompiling per batch.
 
     Returns (points (B,N,F) f32, labels (B,N) i32, valid (B,N) f32).
     """
@@ -209,6 +212,7 @@ def collate(
     if mode != "pad":
         raise ValueError(f"unknown collate mode {mode!r}")
     n = max(sizes)
+    n = -(-n // pad_multiple) * pad_multiple
     out_p = np.zeros((b, n, f), np.float32)
     out_l = np.zeros((b, n), np.int32)
     valid = np.zeros((b, n), np.float32)

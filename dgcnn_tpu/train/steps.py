@@ -123,6 +123,8 @@ def make_train_step(
     *,
     smoothing: bool = True,
     donate: bool = True,
+    device_masks: bool = False,
+    exclude_classes: tuple[int, ...] = (),
 ) -> Callable:
     """Build the jitted train step.
 
@@ -130,7 +132,13 @@ def make_train_step(
     and returns ``(new_state, metrics)`` where metrics holds the scalar loss
     and a (C, C) confusion matrix over masked points (accumulate matrices on
     host and derive accuracy / balanced accuracy / IoU at logging time).
+
+    ``device_masks=True`` ignores the passed mask (still multiplied in as a
+    validity mask) and draws the class-balance mask in-graph
+    (:func:`dgcnn_tpu.ops.masks.balanced_train_mask`) from the state PRNG —
+    no host-side mask work per batch.
     """
+    from dgcnn_tpu.ops.masks import balanced_train_mask
 
     def loss_fn(params, bn_state, points, labels, mask, rng):
         logits, new_bn = apply_dgcnn(
@@ -143,6 +151,11 @@ def make_train_step(
 
     def step(state: TrainState, points, labels, mask):
         rng, dropout_rng = jax.random.split(state.rng)
+        if device_masks:
+            rng, mask_rng = jax.random.split(rng)
+            mask = mask * balanced_train_mask(
+                mask_rng, labels, cfg.num_classes, exclude_classes
+            )
         (loss, (new_bn, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.bn_state, points, labels, mask, dropout_rng)
