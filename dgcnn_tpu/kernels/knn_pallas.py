@@ -136,7 +136,17 @@ def knn_pallas(
     ranking at reduced score precision; requires padded N <= 8192)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if packed and -(-x.shape[1] // 128) * 128 > 8192:
+    n_pad = -(-x.shape[1] // 128) * 128
+    # the kernel keeps a (query_tile, N_pad) score tile in VMEM; beyond
+    # ~12k candidates it no longer fits — fall back to the chunked XLA
+    # path (the point-sharded ring kNN is the intended path for huge N)
+    while query_tile > 64 and query_tile * n_pad * 4 > 12 * 2**20:
+        query_tile //= 2
+    if query_tile * n_pad * 4 > 12 * 2**20:
+        from dgcnn_tpu.ops.knn import knn as knn_xla
+
+        return knn_xla(x, k, query_chunk=1024)
+    if packed and n_pad > 8192:
         packed = False  # index field is 13 bits
     # indices are discrete — no tangents flow (and pallas_call has no JVP)
     x = jax.lax.stop_gradient(x)
