@@ -31,8 +31,6 @@ from dgcnn_tpu.ops.metrics import (
     calculate_sem_iou,
     confusion_matrix,
 )
-from dgcnn_tpu.train.checkpoint import try_resume
-from dgcnn_tpu.train.steps import init_train_state, make_optimizer
 from dgcnn_tpu.utils.logging import IOStream
 
 UNCLASSIFIED = 31
@@ -43,14 +41,15 @@ def _restore(cfg: DGCNNConfig, model_root: str, model_label: str, io):
     t7 = os.path.join(model_root, f"{model_label}.t7")
     npz = os.path.join(model_root, f"{model_label}.npz")
     if os.path.exists(npz):
-        tx = make_optimizer()
-        template = init_train_state(jax.random.key(0), cfg, tx)
-        restored = try_resume(npz, template)
-        if restored is None:
-            raise FileNotFoundError(f"unreadable checkpoint {npz}")
-        state, _ = restored
+        from dgcnn_tpu.models.dgcnn import init_dgcnn
+        from dgcnn_tpu.train.checkpoint import load_named_subtrees
+
+        p_tpl, s_tpl = init_dgcnn(jax.random.key(0), cfg)
+        # name-based partial load: works regardless of the training-time
+        # optimizer whose state structure we cannot know here
+        sub = load_named_subtrees(npz, {"params": p_tpl, "bn_state": s_tpl})
         io.cprint(f"{model_label}.npz restored.")
-        return state.params, state.bn_state
+        return sub["params"], sub["bn_state"]
     if os.path.exists(t7):
         from dgcnn_tpu.compat.torch_ckpt import load_torch_checkpoint
 

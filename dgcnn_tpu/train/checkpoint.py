@@ -100,6 +100,47 @@ def try_resume(path: str, like: Any):
         return None
 
 
+def load_named_subtrees(path: str, subtrees: dict[str, Any]) -> dict[str, Any]:
+    """Restore selected top-level TrainState fields by leaf name.
+
+    ``subtrees`` maps a top-level field name (e.g. 'params', 'bn_state') to
+    a template pytree; leaves are matched by their recorded name prefix, so
+    the optimizer state (whose structure depends on the training-time
+    optimizer) need not be reconstructible — eval/predict only need model
+    weights and BN statistics.
+    """
+    with np.load(path, allow_pickle=False) as z:
+        manifest = json.loads(str(z["__manifest__"]))
+        arrays = {n: z[f"leaf_{i}"]
+                  for i, n in enumerate(manifest["names"])}
+
+    def norm(name: str) -> str:
+        return name.lstrip(".")
+
+    by_name = {norm(n): a for n, a in arrays.items()}
+    out = {}
+    for field, template in subtrees.items():
+        flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for p, want in flat:
+            name = field + "/" + "/".join(
+                str(getattr(q, "key", getattr(q, "idx", q))) for q in p
+            )
+            if name not in by_name:
+                raise KeyError(f"checkpoint {path} has no leaf {name!r}")
+            got = by_name[name]
+            if tuple(np.shape(want)) != tuple(got.shape):
+                raise ValueError(
+                    f"leaf {name}: checkpoint {got.shape} vs "
+                    f"{np.shape(want)}"
+                )
+            leaves.append(jax.numpy.asarray(got))
+        out[field] = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(template), leaves
+        )
+    return out
+
+
 def load_model_checkpoint(path: str):
     """Load model params/bn-state from either a dgcnn_tpu ``.npz`` (returns
     raw dict trees) or a reference torch ``.t7`` via dgcnn_tpu.compat."""

@@ -162,6 +162,15 @@ def train(
         for batch, (pts, labels, mask) in batch_iter:
             state, metrics = train_step(state, pts, labels, mask)
             loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                # failure detection: a non-finite loss poisons Adam moments
+                # and every later step — stop loudly instead of training on
+                # garbage (the best-only checkpoint keeps the last good
+                # state on disk for resume)
+                raise FloatingPointError(
+                    f"non-finite loss {loss} at epoch {epoch} step "
+                    f"{int(state.step)}; last good checkpoint: {ckpt_path}"
+                )
             cm_sum += np.asarray(metrics["confusion"])
             loss_sum += loss * len(batch.points)
             count += len(batch.points)
