@@ -60,7 +60,11 @@ def bench_jax() -> dict:
     # headline: the fused Pallas exact-kNN path (bit-identical neighbour
     # sets to the reference's top-k — measured 100% index match on device);
     # 'approx' (lax.approx_max_k, recall 0.95) reported as diagnostics.
-    for tag, knn_impl in (("pallas-exact", "pallas"), ("approx", "approx")):
+    for tag, knn_impl in (
+        ("pallas-exact", "pallas"),
+        ("pallas-packed", "pallas_packed"),
+        ("approx", "approx"),
+    ):
         cfg = DGCNNConfig(num_classes=C, num_features=F, k=K, emb_dims=EMB,
                           knn_impl=knn_impl)
         params, state = init_dgcnn(jax.random.key(0), cfg)
@@ -241,7 +245,12 @@ def main():
 
     results = bench_jax()
     baseline = get_baseline()
-    extras = {}
+    extras = {
+        "packed_pts_per_sec": round(
+            results["pallas-packed"]["points_per_sec"], 1),
+        "approx_pts_per_sec": round(
+            results["approx"]["points_per_sec"], 1),
+    }
     if not args.quick:
         train_s = bench_train_step()
         if train_s:
@@ -255,7 +264,7 @@ def main():
         "value": round(value, 1),
         "unit": "points/s",
         "vs_baseline": round(value / baseline, 2) if baseline else None,
-        **({"extras": extras} if extras else {}),
+        "extras": extras,
     }
     print(json.dumps(out), flush=True)
 

@@ -57,6 +57,29 @@ def params_from_torch_state_dict(
     return params, state
 
 
+def torch_state_dict_from_params(params: dict, state: dict) -> dict:
+    """Inverse of :func:`params_from_torch_state_dict`: build a reference-
+    compatible ``model_state_dict`` (numpy values; call ``torch.save`` after
+    mapping through ``torch.from_numpy`` if tensors are required). Lets
+    models trained here run in the reference PyTorch stack."""
+    sd: dict = {}
+    for name in _CONVS:
+        w = np.asarray(params[name]["w"]).T  # (C_out, C_in)
+        if name in ("conv6", "conv7", "conv8", "conv9"):
+            w = w[:, :, None]                # Conv1d kernel
+        else:
+            w = w[:, :, None, None]          # Conv2d kernel
+        key = f"{name}.0.weight" if name != "conv9" else "conv9.weight"
+        sd[key] = w
+    for name in _BNS:
+        sd[f"{name}.weight"] = np.asarray(params[name]["gamma"])
+        sd[f"{name}.bias"] = np.asarray(params[name]["beta"])
+        sd[f"{name}.running_mean"] = np.asarray(state[name]["mean"])
+        sd[f"{name}.running_var"] = np.asarray(state[name]["var"])
+        sd[f"{name}.num_batches_tracked"] = np.asarray(0, np.int64)
+    return sd
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a reference .t7 checkpoint file and convert it.
 
