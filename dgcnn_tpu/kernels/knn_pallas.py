@@ -38,6 +38,68 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _knn_kernel_packed_split(
+    x_ref, q_ref, cnorm_ref, idx_ref, packed_scr, idx_scr, *, k_pad, n_pad,
+    splits,
+):
+    """Split-extraction variant: the candidate axis is cut into ``splits``
+    independent slices, each running its own k-extraction loop *in the same
+    fori body* — the per-slice max-reduce chains have no data dependence, so
+    the VPU can overlap them (the single-loop version is latency-bound on
+    one serial reduce chain). The per-slice winners (globally packed keys,
+    so they carry global columns and a global tie order) are then merged by
+    one cheap extraction over splits*k_pad lanes. Result is identical to
+    the single-loop packed kernel."""
+    q = q_ref[0]
+    x = x_ref[0]
+    scores = 2.0 * jax.lax.dot_general(
+        q, x,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) - cnorm_ref[0]
+    qt = q.shape[0]
+    bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    key = jnp.where(bits >= 0, bits, jnp.int32(-0x80000000) - bits)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (qt, n_pad), 1)
+    packed_scr[:] = (key & jnp.int32(~0x1FFF)) | (jnp.int32(n_pad - 1) - iota)
+
+    w = n_pad // splits
+    neg_inf = jnp.int32(-0x80000000)
+    m_pad = splits * k_pad
+    k_iota_m = jax.lax.broadcasted_iota(jnp.int32, (qt, m_pad), 1)
+    idx_scr[:] = jnp.full((qt, m_pad), neg_inf, jnp.int32)
+
+    def body(j, _):
+        for s in range(splits):
+            sl = packed_scr[:, s * w : (s + 1) * w]
+            m = jnp.max(sl, axis=1, keepdims=True)
+            # stash winner into the merge scratch at column s*k_pad + j
+            idx_scr[:] = jnp.where(
+                k_iota_m == s * k_pad + j, m, idx_scr[:]
+            )
+            packed_scr[:, s * w : (s + 1) * w] = jnp.where(
+                sl == m, neg_inf, sl
+            )
+        return ()
+
+    jax.lax.fori_loop(0, k_pad, body, (), unroll=False)
+
+    # merge: top k_pad of the splits*k_pad winner keys
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (qt, k_pad), 1)
+    out = jnp.zeros((qt, k_pad), jnp.int32)
+
+    def merge_body(j, out):
+        cand = idx_scr[:]
+        m = jnp.max(cand, axis=1, keepdims=True)
+        col = jnp.int32(n_pad - 1) - (m & jnp.int32(0x1FFF))
+        out = jnp.where(k_iota == j, col, out)
+        idx_scr[:] = jnp.where(cand == m, neg_inf, cand)
+        return out
+
+    out = jax.lax.fori_loop(0, k_pad, merge_body, out, unroll=False)
+    idx_ref[0] = out
+
+
 def _knn_kernel_packed(
     x_ref, q_ref, cnorm_ref, idx_ref, packed_scr, idx_scr, *, k_pad, n_pad,
     unroll=1,
@@ -129,11 +191,15 @@ def knn_pallas(
     query_tile: int = 256,
     interpret: bool | None = None,
     packed: bool = False,
+    splits: int = 1,
 ) -> jax.Array:
     """Public wrapper: defaults ``interpret`` to True off-TPU so the same
     model config runs under CPU tests and the TPU Mosaic path in prod.
     ``packed=True`` selects the packed-key kernel (~2x faster extraction,
-    ranking at reduced score precision; requires padded N <= 8192)."""
+    ranking at reduced score precision; requires padded N <= 8192);
+    ``splits`` cuts its extraction into independent slices (measured slower
+    on v5e — strided slice access beats any ILP gain — kept for study;
+    results are identical to splits=1)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_pad = -(-x.shape[1] // 128) * 128
@@ -151,12 +217,14 @@ def knn_pallas(
     # indices are discrete — no tangents flow (and pallas_call has no JVP)
     x = jax.lax.stop_gradient(x)
     return _knn_pallas_jit(
-        x, k, query_tile=query_tile, interpret=interpret, packed=packed
+        x, k, query_tile=query_tile, interpret=interpret, packed=packed,
+        splits=splits,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "query_tile", "interpret", "packed")
+    jax.jit,
+    static_argnames=("k", "query_tile", "interpret", "packed", "splits"),
 )
 def _knn_pallas_jit(
     x: jax.Array,
@@ -165,6 +233,7 @@ def _knn_pallas_jit(
     query_tile: int = 256,
     interpret: bool = False,
     packed: bool = False,
+    splits: int = 1,
 ) -> jax.Array:
     """Exact k nearest neighbours (self included) via the fused kernel.
 
@@ -195,10 +264,21 @@ def _knn_pallas_jit(
     cnorm = jnp.where(col[None, :] >= n, jnp.inf, cnorm)[:, None, :]
 
     grid = (b, n_q_pad // qt)
-    kernel = _knn_kernel_packed if packed else _knn_kernel
+    if packed and splits > 1 and n_pad % splits == 0:
+        kernel = functools.partial(
+            _knn_kernel_packed_split, k_pad=k_pad, n_pad=n_pad,
+            splits=splits,
+        )
+        idx_scr_cols = splits * k_pad
+    else:
+        kernel = functools.partial(
+            _knn_kernel_packed if packed else _knn_kernel,
+            k_pad=k_pad, n_pad=n_pad,
+        )
+        idx_scr_cols = k_pad
     scratch_dtype = jnp.int32 if packed else jnp.float32
     out = pl.pallas_call(
-        functools.partial(kernel, k_pad=k_pad, n_pad=n_pad),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, n_pad, c_pad), lambda bi, qi: (bi, 0, 0),
@@ -213,7 +293,7 @@ def _knn_pallas_jit(
         out_shape=jax.ShapeDtypeStruct((b, n_q_pad, k_pad), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((qt, n_pad), scratch_dtype),
-            pltpu.VMEM((qt, k_pad), jnp.int32),
+            pltpu.VMEM((qt, idx_scr_cols), jnp.int32),
         ],
         interpret=interpret,
     )(xp, qp, cnorm)
