@@ -118,6 +118,25 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _snapshot_run_config(args) -> None:
+    """Reproducibility snapshot: full flag values + code revision into the
+    experiment dir (replaces the reference's source-file copying,
+    /root/reference/main.py:28-31 — the git hash identifies the code)."""
+    import json
+    import subprocess
+
+    try:
+        rev = subprocess.run(
+            ["git", "-C", ROOT_DIR, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        rev = "unknown"
+    snap = {"git_revision": rev, "args": vars(args)}
+    with open(f"checkpoints/{args.exp_name}/run_config.json", "w") as f:
+        json.dump(snap, f, indent=1, default=str)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
@@ -126,6 +145,7 @@ def main(argv=None):
     os.makedirs(f"checkpoints/{args.exp_name}/models", exist_ok=True)
     io = IOStream(f"checkpoints/{args.exp_name}/run.log")
     io.cprint(str(args))
+    _snapshot_run_config(args)
 
     if args.mode == "classifier":
         if args.predict:
