@@ -11,7 +11,6 @@ pc_pred_{n}.las) are opt-in instead of always-on.
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 

@@ -125,6 +125,7 @@ def make_train_step(
     donate: bool = True,
     device_masks: bool = False,
     exclude_classes: tuple[int, ...] = (),
+    remat: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -137,13 +138,25 @@ def make_train_step(
     validity mask) and draws the class-balance mask in-graph
     (:func:`dgcnn_tpu.ops.masks.balanced_train_mask`) from the state PRNG —
     no host-side mask work per batch.
+
+    ``remat=True`` rematerialises the forward in the backward pass
+    (``jax.checkpoint``): the (B, N, k, C) stage activations are recomputed
+    instead of stored, trading ~1 extra forward of FLOPs for several GB of
+    activation memory — use for large B or N.
     """
     from dgcnn_tpu.ops.masks import balanced_train_mask
 
+    def _fwd(params, bn_state, points, rng):
+        return apply_dgcnn(params, bn_state, points, cfg, train=True,
+                           rng=rng)
+
+    fwd = (
+        jax.checkpoint(_fwd, policy=jax.checkpoint_policies.nothing_saveable)
+        if remat else _fwd
+    )
+
     def loss_fn(params, bn_state, points, labels, mask, rng):
-        logits, new_bn = apply_dgcnn(
-            params, bn_state, points, cfg, train=True, rng=rng
-        )
+        logits, new_bn = fwd(params, bn_state, points, rng)
         loss = masked_smoothed_cross_entropy(
             logits, labels, mask, smoothing=smoothing
         )
