@@ -235,6 +235,58 @@ def test_whole_cloud_predict(trained, scene_las, workdir):
     assert (back.classification == 1).mean() > 0.2
 
 
+def test_eval_dumps_feed_postprocess(trained, processed, workdir):
+    """dump_logits=True rows must satisfy the postprocess row contract
+    (xyz 0:3, rni 3:6, pred 6, gt 7, logits 8:) all the way through
+    prob_map -> combine -> metrics."""
+    from dgcnn_tpu.eval.test import test as run_test
+    from dgcnn_tpu.postprocess.combine import combine_dirs
+    from dgcnn_tpu.postprocess.metrics import evaluate_combined_dir
+    from dgcnn_tpu.postprocess.prob_map import process_dir
+
+    _, npy_dir = processed
+    model_root, _ = trained
+    io = IOStream(str(workdir / "dumplog.log"))
+    pred_dir = workdir / "dumps_logits"
+    run_test(
+        K, io, data_dir=str(npy_dir), num_points=NUM_POINTS,
+        num_classes=NUM_CLASSES, num_features=4, test_batch_size=2,
+        emb_dims=EMB, min_class_confidence=0.0, model_root=str(model_root),
+        pred_dir=str(pred_dir), test_area="1", validation_prop=0.25,
+        seed=1, dump_logits=True,
+    )
+    dumps = glob.glob(str(pred_dir / "Area_1_room_*_pred_gt.txt"))
+    assert dumps
+    rows = np.loadtxt(dumps[0])
+    assert rows.shape[1] == 8 + NUM_CLASSES
+
+    probs = process_dir(str(pred_dir), str(workdir / "probd"), "1")
+    assert probs
+    prob_rows = np.loadtxt(probs[0])
+    np.testing.assert_allclose(prob_rows[:, 8:].sum(1), 1.0, atol=1e-6)
+
+    combined = combine_dirs(str(pred_dir), str(pred_dir),
+                            str(workdir / "combd"), "1")
+    assert combined
+    m = evaluate_combined_dir(str(workdir / "combd"), NUM_CLASSES, "1")
+    # self-combined metrics equal the eval metrics on co-located points
+    assert m["accuracy"] > 0.4 and m["rooms"] >= 1
+
+
+def test_dataset_use_all_points(processed):
+    """use_all_points=True returns full rooms; pad collation batches them."""
+    from dgcnn_tpu.data.dataset import FugroDataset
+
+    _, npy_dir = processed
+    ds = FugroDataset("train", str(npy_dir), num_point=64,
+                      use_all_points=True, seed=1, classes=range(3))
+    pts, labels, idx = ds[0]
+    assert len(pts) == len(ds.room_points[0])  # every point of the room
+    batch = next(ds.batches(2, with_mask=False))
+    assert batch.points.shape[0] == 2
+    assert batch.mask.sum() > 0
+
+
 def test_whole_cloud_predict_classify_all(trained, scene_las, workdir):
     """classify_all=True must label every point of every populated block —
     no subsample-and-drop, no duplicated pad points."""
