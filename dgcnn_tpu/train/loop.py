@@ -78,6 +78,8 @@ def train(
     compute_dtype: str | None = None,
     data_parallel: bool = True,
     smoothing: bool = True,
+    device_masks: bool = False,
+    remat: bool = False,
 ) -> dict:
     """Train a DGCNN. Returns a summary dict (best balanced accuracy etc.).
 
@@ -138,11 +140,14 @@ def train(
     else:
         io.cprint("No existing model, starting training from scratch...")
 
-    train_step = make_train_step(cfg, tx, smoothing=smoothing)
+    exclude = tuple(int(c) for c in exclude_classes if int(c) >= 0)
+    train_step = make_train_step(
+        cfg, tx, smoothing=smoothing, device_masks=device_masks,
+        exclude_classes=exclude, remat=remat,
+    )
     eval_step = make_eval_step(cfg, smoothing=smoothing)
     writer = ScalarWriter(os.path.join(tb_dir, exp_name))
 
-    exclude = tuple(int(c) for c in exclude_classes if int(c) >= 0)
     summary = {}
     niter = start_epoch * steps_per_epoch * train_batch_size
     for epoch in range(start_epoch, epochs):
@@ -151,7 +156,8 @@ def train(
         loss_sum, count = 0.0, 0
         batch_iter = prefetch_to_device(
             train_data.batches(
-                train_batch_size, epoch=epoch, exclude_classes=exclude
+                train_batch_size, epoch=epoch, exclude_classes=exclude,
+                with_mask=not device_masks,
             ),
             size=2,
             transfer=lambda b: (

@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--predict", type=str, default="",
                    help="point cloud file for whole-cloud prediction")
     p.add_argument("--predict_out", type=str, default="pc_pred.las")
+    p.add_argument("--classify_all", type=str2bool, default=False,
+                   help="label every point (not a num_points subsample per "
+                        "block) during --predict")
 
     # train/test
     p.add_argument("--data_dir", type=str, default="")
@@ -159,6 +162,7 @@ def main(argv=None):
                 min_class_confidence=args.min_class_confidence,
                 model_label=args.model_label, model_root=args.model_root,
                 knn_impl=args.knn_impl, compute_dtype=args.compute_dtype,
+                classify_all=args.classify_all,
             )
         elif not args.eval:
             from dgcnn_tpu.train.loop import train_args
