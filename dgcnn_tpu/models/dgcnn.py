@@ -66,7 +66,8 @@ class DGCNNConfig:
     # TPU knobs (no reference equivalent):
     knn_query_chunk: int | None = 1024   # query rows per kNN scan step
     compute_dtype: str | None = None     # e.g. "bfloat16" for matmul inputs
-    knn_impl: str = "xla"                # "xla" | "pallas"
+    knn_impl: str = "xla"          # "xla"|"approx"|"pallas"|"pallas_packed"
+    fuse_epilogue: bool = False    # fused eval EdgeConv epilogue kernel
 
     @property
     def _cdtype(self):
@@ -167,10 +168,33 @@ def _edge_stage_two_conv(
     x, cfg, params, state, names, *, train
 ) -> tuple[jax.Array, BNState]:
     """EdgeConv stage with two convs (stages 1 and 2): decomposed first conv,
-    BN+LReLU, k-expanded second conv, BN+LReLU, max over k."""
+    BN+LReLU, k-expanded second conv, BN+LReLU, max over k. In eval mode
+    with ``cfg.fuse_epilogue`` the whole post-gather chain runs in one
+    Pallas kernel (kernels/edgeconv_pallas.py)."""
     conv_a, bn_a, conv_b, bn_b = names
     cd = cfg._cdtype
     idx = _knn(x, cfg)
+    if not train and cfg.fuse_epilogue:
+        from dgcnn_tpu.kernels.edgeconv_pallas import (
+            edgeconv_epilogue,
+            fold_bn,
+        )
+        from dgcnn_tpu.ops.edgeconv import gather_neighbors
+
+        w = params[conv_a]["w"]
+        c = x.shape[-1]
+        w_d, w_x = w[:c], w[c:]
+        a = _mm(x, w_d, cd)
+        bvec = _mm(x, w_x - w_d, cd)
+        sa, ta = fold_bn(params[bn_a]["gamma"], params[bn_a]["beta"],
+                         state[bn_a]["mean"], state[bn_a]["var"])
+        sb, tb = fold_bn(params[bn_b]["gamma"], params[bn_b]["beta"],
+                         state[bn_b]["mean"], state[bn_b]["var"])
+        out = edgeconv_epilogue(
+            gather_neighbors(a, idx), bvec, params[conv_b]["w"],
+            sa, ta, sb, tb,
+        )
+        return out, {bn_a: state[bn_a], bn_b: state[bn_b]}
     e = edge_conv_linear(x, idx, params[conv_a]["w"], compute_dtype=cd)
     e, s_a = _batch_norm(e, params[bn_a], state[bn_a], train=train)
     e = _lrelu(e)
