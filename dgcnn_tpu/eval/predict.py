@@ -41,7 +41,7 @@ def predict(
     model_label: str = "dgcnn_model",
     model_root: str = "checkpoints/dgcnn",
     batch_size: int = 8,
-    knn_impl: str = "xla",
+    knn_impl: str = "auto",
     compute_dtype: str | None = None,
     save_block_las: bool = False,
     features: dict[str, int] | None = None,

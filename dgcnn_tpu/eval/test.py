@@ -76,7 +76,7 @@ def test(
     pred_dir: str = "predict",
     test_area: str = "1",
     seed: int = 1,
-    knn_impl: str = "xla",
+    knn_impl: str = "auto",
     compute_dtype: str | None = None,
     dump_logits: bool = False,
     validation_prop: float = 0.2,
@@ -188,7 +188,7 @@ def test_args(args, io: IOStream) -> dict:
         pred_dir=args.test_visu_dir,
         test_area=getattr(args, "validation_area", "1"),
         seed=args.seed,
-        knn_impl=getattr(args, "knn_impl", "xla"),
+        knn_impl=getattr(args, "knn_impl", "auto"),
         compute_dtype=getattr(args, "compute_dtype", None),
         validation_prop=args.validation_prop,
     )

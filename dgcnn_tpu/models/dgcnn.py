@@ -153,14 +153,19 @@ def _mm(x: jax.Array, w: jax.Array, cdtype) -> jax.Array:
 
 
 def _knn(x: jax.Array, cfg: DGCNNConfig) -> jax.Array:
-    if cfg.knn_impl in ("pallas", "pallas_packed"):
+    impl = cfg.knn_impl
+    if impl == "auto":
+        # fused Pallas kernel on TPU; chunked XLA top_k elsewhere (the
+        # kernel would only run interpreted off-TPU)
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl in ("pallas", "pallas_packed"):
         from dgcnn_tpu.kernels.knn_pallas import knn_pallas
 
-        return knn_pallas(x, cfg.k, packed=cfg.knn_impl == "pallas_packed")
-    if cfg.knn_impl == "approx":
+        return knn_pallas(x, cfg.k, packed=impl == "pallas_packed")
+    if impl == "approx":
         return knn(x, cfg.k, query_chunk=cfg.knn_query_chunk, approx=True)
-    if cfg.knn_impl != "xla":
-        raise ValueError(f"unknown knn_impl {cfg.knn_impl!r}")
+    if impl != "xla":
+        raise ValueError(f"unknown knn_impl {impl!r}")
     return knn(x, cfg.k, query_chunk=cfg.knn_query_chunk)
 
 

@@ -74,7 +74,7 @@ def train(
     exp_name: str = "DGCNN_Training",
     tb_dir: str = "tensorboard_logs",
     seed: int = 1,
-    knn_impl: str = "xla",
+    knn_impl: str = "auto",
     compute_dtype: str | None = None,
     data_parallel: bool = True,
     smoothing: bool = True,
@@ -260,6 +260,6 @@ def train_args(args, io: IOStream) -> dict:
         exp_name=args.exp_name,
         tb_dir=args.tb_dir,
         seed=args.seed,
-        knn_impl=getattr(args, "knn_impl", "xla"),
+        knn_impl=getattr(args, "knn_impl", "auto"),
         compute_dtype=getattr(args, "compute_dtype", None),
     )

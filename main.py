@@ -83,8 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min_class_confidence", type=float, default=0.8)
 
     # TPU knobs
-    p.add_argument("--knn_impl", type=str, default="xla",
-                   choices=["xla", "approx", "pallas"])
+    p.add_argument("--knn_impl", type=str, default="auto",
+                   choices=["auto", "xla", "approx", "pallas",
+                            "pallas_packed"])
     p.add_argument("--compute_dtype", type=str, default=None)
 
     # preprocessing
