@@ -40,7 +40,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _knn_kernel_packed_split(
     x_ref, q_ref, cnorm_ref, idx_ref, packed_scr, idx_scr, *, k_pad, n_pad,
-    splits,
+    splits, k_real=None,
 ):
     """Split-extraction variant: the candidate axis is cut into ``splits``
     independent slices, each running its own k-extraction loop *in the same
@@ -82,7 +82,7 @@ def _knn_kernel_packed_split(
             )
         return ()
 
-    jax.lax.fori_loop(0, k_pad, body, (), unroll=False)
+    jax.lax.fori_loop(0, k_real or k_pad, body, (), unroll=False)
 
     # merge: top k_pad of the splits*k_pad winner keys
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (qt, k_pad), 1)
@@ -96,13 +96,13 @@ def _knn_kernel_packed_split(
         idx_scr[:] = jnp.where(cand == m, neg_inf, cand)
         return out
 
-    out = jax.lax.fori_loop(0, k_pad, merge_body, out, unroll=False)
+    out = jax.lax.fori_loop(0, k_real or k_pad, merge_body, out, unroll=False)
     idx_ref[0] = out
 
 
 def _knn_kernel_packed(
     x_ref, q_ref, cnorm_ref, idx_ref, packed_scr, idx_scr, *, k_pad, n_pad,
-    unroll=1,
+    unroll=1, k_real=None,
 ):
     """Packed-key variant: each score is collapsed to a single int32 key —
     the float's order-preserving integer transform truncated to its top 19
@@ -139,12 +139,13 @@ def _knn_kernel_packed(
         packed_scr[:] = jnp.where(p == m, neg_inf, p)
         return ()
 
-    jax.lax.fori_loop(0, k_pad, body, (), unroll=unroll)
+    jax.lax.fori_loop(0, k_real or k_pad, body, (), unroll=unroll)
     idx_ref[0] = idx_scr[:]
 
 
 def _knn_kernel(
-    x_ref, q_ref, cnorm_ref, idx_ref, scores_scr, idx_scr, *, k_pad, n_pad
+    x_ref, q_ref, cnorm_ref, idx_ref, scores_scr, idx_scr, *, k_pad, n_pad,
+    k_real=None,
 ):
     """One (batch, query-tile) program.
 
@@ -180,7 +181,7 @@ def _knn_kernel(
         scores_scr[:] = jnp.where(iota_rev == col_rev, _NEG_INF, s)
         return ()
 
-    jax.lax.fori_loop(0, k_pad, body, (), unroll=False)
+    jax.lax.fori_loop(0, k_real or k_pad, body, (), unroll=False)
     idx_ref[0] = idx_scr[:]
 
 
@@ -267,13 +268,13 @@ def _knn_pallas_jit(
     if packed and splits > 1 and n_pad % splits == 0:
         kernel = functools.partial(
             _knn_kernel_packed_split, k_pad=k_pad, n_pad=n_pad,
-            splits=splits,
+            splits=splits, k_real=k,
         )
         idx_scr_cols = splits * k_pad
     else:
         kernel = functools.partial(
             _knn_kernel_packed if packed else _knn_kernel,
-            k_pad=k_pad, n_pad=n_pad,
+            k_pad=k_pad, n_pad=n_pad, k_real=k,
         )
         idx_scr_cols = k_pad
     scratch_dtype = jnp.int32 if packed else jnp.float32
