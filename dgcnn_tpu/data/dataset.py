@@ -79,6 +79,11 @@ class FugroDataset:
             chosen = [r for i, r in enumerate(rooms) if i not in val_idx]
         else:
             chosen = [rooms[i] for i in sorted(val_idx)]
+        if not chosen:
+            raise ValueError(
+                f"split {split!r} selected 0 of {len(rooms)} rooms "
+                f"(validation_prop={validation_prop})"
+            )
 
         self.room_names: list[str] = []
         self.room_points: list[np.ndarray] = []

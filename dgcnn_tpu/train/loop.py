@@ -101,13 +101,23 @@ def train(
         use_all_points=use_all_points, validation_prop=validation_prop,
         classes=range(num_classes), seed=seed,
     )
-    val_data = FugroDataset(
-        "validation", data_dir, num_point=num_points,
-        validation_prop=validation_prop, classes=range(num_classes),
-        seed=seed,
-    )
+    val_data = None
+    if validation_prop > 0:
+        try:
+            val_data = FugroDataset(
+                "validation", data_dir, num_point=num_points,
+                validation_prop=validation_prop, classes=range(num_classes),
+                seed=seed,
+            )
+        except ValueError:
+            pass  # too few rooms for a validation draw
     io.cprint(f"Totally {len(train_data)} samples in train set.")
-    io.cprint(f"Totally {len(val_data)} samples in validation set.")
+    io.cprint(
+        f"Totally {len(val_data) if val_data else 0} samples in "
+        "validation set."
+    )
+    if val_data is None:
+        io.cprint("no validation split — checkpointing on train metrics")
 
     steps_per_epoch = max(len(train_data) // train_batch_size, 1)
     tx = make_optimizer(
@@ -191,26 +201,29 @@ def train(
         writer.add_scalar("Train/accuracy", train_acc, epoch)
         writer.add_scalar("Train/balanced_accuracy", train_bacc, epoch)
 
-        # validation
-        cm_sum = np.zeros((num_classes, num_classes))
-        loss_sum, count = 0.0, 0
-        for batch in val_data.batches(
-            validation_batch_size, epoch=epoch, with_mask=False,
-            shuffle=False, drop_last=False,
-        ):
-            pts, labels, _ = _device_put_sharded(
-                (batch.points, batch.labels, batch.mask), mesh
+        # validation (falls back to train metrics when no split exists)
+        if val_data is not None:
+            cm_sum = np.zeros((num_classes, num_classes))
+            loss_sum, count = 0.0, 0
+            for batch in val_data.batches(
+                validation_batch_size, epoch=epoch, with_mask=False,
+                shuffle=False, drop_last=False,
+            ):
+                pts, labels, _ = _device_put_sharded(
+                    (batch.points, batch.labels, batch.mask), mesh
+                )
+                out = eval_step(state.params, state.bn_state, pts, labels)
+                cm_sum += np.asarray(out["confusion"])
+                loss_sum += float(out["loss"]) * len(batch.points)
+                count += len(batch.points)
+            val_acc = float(accuracy_from_confusion(cm_sum))
+            val_bacc = float(balanced_accuracy_from_confusion(cm_sum))
+            io.cprint(
+                "Test %d, loss: %.6f, test acc: %.6f, test avg acc: %.6f"
+                % (epoch, loss_sum / max(count, 1), val_acc, val_bacc)
             )
-            out = eval_step(state.params, state.bn_state, pts, labels)
-            cm_sum += np.asarray(out["confusion"])
-            loss_sum += float(out["loss"]) * len(batch.points)
-            count += len(batch.points)
-        val_acc = float(accuracy_from_confusion(cm_sum))
-        val_bacc = float(balanced_accuracy_from_confusion(cm_sum))
-        io.cprint(
-            "Test %d, loss: %.6f, test acc: %.6f, test avg acc: %.6f"
-            % (epoch, loss_sum / max(count, 1), val_acc, val_bacc)
-        )
+        else:
+            val_acc, val_bacc = train_acc, train_bacc
         writer.add_scalar("Test/accuracy", val_acc, epoch)
         writer.add_scalar("Test/balanced_accuracy", val_bacc, epoch)
         writer.add_scalar("epoch_seconds", time.time() - t0, epoch)
