@@ -133,13 +133,18 @@ class FugroDataset:
         with_mask: bool = True,
         exclude_classes: tuple[int, ...] = (),
         epoch: int = 0,
+        pad_multiple: int | None = None,
     ) -> Iterator[Batch]:
         """Epoch iterator of fixed-shape batches.
 
         Deterministic given (seed, epoch). Each sample re-draws its points
         per epoch, like a fresh ``__getitem__`` pass through a DataLoader
-        (/root/reference/train.py:79-97).
+        (/root/reference/train.py:79-97). ``pad_multiple`` buckets ragged
+        ``use_all_points`` batch shapes (defaults to 512 in that mode) so
+        XLA compiles a handful of shapes instead of one per batch.
         """
+        if pad_multiple is None:
+            pad_multiple = 512 if self.use_all_points else 1
         order = np.arange(len(self))
         epoch_rng = np.random.default_rng((self.seed, epoch, hash(self.split) & 0xFFFF))
         if shuffle:
@@ -156,10 +161,10 @@ class FugroDataset:
                 idxs.append(idx)
                 if with_mask:
                     masks.append(self.sample_mask(l, exclude_classes))
-            batch_pts, batch_labels, valid = collate(pts, labels, mode="pad")
+            batch_pts, batch_labels, valid = collate(pts, labels, mode="pad", pad_multiple=pad_multiple)
             if with_mask:
                 m, _, _ = collate(
-                    [mm[:, None] for mm in masks], labels, mode="pad"
+                    [mm[:, None] for mm in masks], labels, mode="pad", pad_multiple=pad_multiple
                 )
                 mask = m[..., 0] * valid
             else:
