@@ -58,7 +58,10 @@ def load_pointcloud_dir(
     Writes each accepted sub-block as ``{las_dir}/Area_{n}.las`` and
     ``{outdir}/Area_{n}.txt`` (features + label column). Returns the stacked
     (B, num_points, F) data and (B, num_points) labels.
-    (/root/reference/prepare_data/process_data.py:161-320.)
+    (/root/reference/prepare_data/process_data.py:161-320. One deviation:
+    the reference writes the AGL column as the LAS ``z`` of the visualisation
+    tiles when calc_agl is on (process_data.py:280-281); here the LAS keeps
+    the true z — the .txt/.npy training artifacts are identical either way.)
     """
     rng = np.random.default_rng(seed)
     features = {k.lower(): v for k, v in (features or {}).items()}

@@ -46,7 +46,13 @@ def _device_put_sharded(batch_arrays, mesh):
         return batch_arrays
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    shard = NamedSharding(mesh, P("data"))
+    n_data = mesh.shape["data"]
+    if len(batch_arrays[0]) % n_data:
+        # partial batch (e.g. validation tail with drop_last=False) cannot
+        # shard evenly — replicate instead; correctness over speed here
+        shard = NamedSharding(mesh, P())
+    else:
+        shard = NamedSharding(mesh, P("data"))
     return tuple(jax.device_put(a, shard) for a in batch_arrays)
 
 
