@@ -40,6 +40,22 @@ def test_pallas_tie_breaking_duplicates(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("n,c,k,packed", [
+    (64, 1, 1, False),      # minimal dims
+    (129, 2, 13, False),    # everything unaligned
+    (256, 65, 64, False),   # C above one lane tile, large k
+    (200, 4, 30, True),     # production k, packed
+    (513, 9, 8, True),      # unaligned N/C, packed
+])
+def test_pallas_shape_stress(n, c, k, packed, rng):
+    x = jnp.asarray(rng.integers(0, 9, (1, n, c)).astype(np.float32))
+    want = np.asarray(knn(x, k, query_chunk=None))
+    got = np.asarray(
+        knn_pallas(x, k, query_tile=128, interpret=True, packed=packed)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pallas_query_tile_invariance(rng):
     x = jnp.asarray(rng.integers(0, 30, (1, 192, 5)).astype(np.float32))
     a = np.asarray(knn_pallas(x, 9, query_tile=64, interpret=True))
