@@ -17,3 +17,32 @@ post-processing and feature visualisation — redesigned TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (keep `import dgcnn_tpu` light)."""
+    if name in ("DGCNN", "DGCNNConfig", "init_dgcnn", "apply_dgcnn"):
+        import dgcnn_tpu.models.dgcnn as m
+
+        return getattr(m, name)
+    if name in ("knn",):
+        from dgcnn_tpu.ops.knn import knn
+
+        return knn
+    if name in ("knn_pallas",):
+        from dgcnn_tpu.kernels.knn_pallas import knn_pallas
+
+        return knn_pallas
+    if name in ("FugroDataset", "collate_pcs"):
+        import dgcnn_tpu.data.dataset as d
+
+        return getattr(d, name)
+    if name in ("train",):
+        from dgcnn_tpu.train.loop import train
+
+        return train
+    if name in ("test", "predict"):
+        import dgcnn_tpu.eval as e
+
+        return getattr(e, name)
+    raise AttributeError(f"module 'dgcnn_tpu' has no attribute {name!r}")
