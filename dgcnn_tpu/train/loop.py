@@ -30,6 +30,7 @@ from dgcnn_tpu.models.dgcnn import DGCNNConfig, count_parameters
 from dgcnn_tpu.ops.metrics import (
     accuracy_from_confusion,
     balanced_accuracy_from_confusion,
+    iou_from_confusion,
 )
 from dgcnn_tpu.train.checkpoint import save_checkpoint, try_resume
 from dgcnn_tpu.train.steps import (
@@ -224,10 +225,14 @@ def train(
                 count += len(batch.points)
             val_acc = float(accuracy_from_confusion(cm_sum))
             val_bacc = float(balanced_accuracy_from_confusion(cm_sum))
+            val_miou = float(np.nanmean(np.asarray(iou_from_confusion(cm_sum))))
             io.cprint(
-                "Test %d, loss: %.6f, test acc: %.6f, test avg acc: %.6f"
-                % (epoch, loss_sum / max(count, 1), val_acc, val_bacc)
+                "Test %d, loss: %.6f, test acc: %.6f, test avg acc: %.6f, "
+                "test mIoU: %.6f"
+                % (epoch, loss_sum / max(count, 1), val_acc, val_bacc,
+                   val_miou)
             )
+            writer.add_scalar("Test/mean_iou", val_miou, epoch)
         else:
             val_acc, val_bacc = train_acc, train_bacc
         writer.add_scalar("Test/accuracy", val_acc, epoch)
