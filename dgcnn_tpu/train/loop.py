@@ -87,6 +87,7 @@ def train(
     smoothing: bool = True,
     device_masks: bool = False,
     remat: bool = False,
+    patience: int | None = None,
 ) -> dict:
     """Train a DGCNN. Returns a summary dict (best balanced accuracy etc.).
 
@@ -167,6 +168,7 @@ def train(
 
     summary = {}
     niter = start_epoch * steps_per_epoch * train_batch_size
+    epochs_since_best = 0
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         cm_sum = np.zeros((num_classes, num_classes))
@@ -241,8 +243,11 @@ def train(
 
         if val_bacc > best_bacc:
             best_bacc = val_bacc
+            epochs_since_best = 0
             io.cprint(f"Saving the best model at {ckpt_path}")
             save_checkpoint(ckpt_path, state, epoch=epoch, mBPCA=best_bacc)
+        else:
+            epochs_since_best += 1
         summary = {
             "epoch": epoch,
             "best_balanced_accuracy": best_bacc,
@@ -250,6 +255,12 @@ def train(
             "val_balanced_accuracy": val_bacc,
             "params": total,
         }
+        if patience is not None and epochs_since_best >= patience:
+            io.cprint(
+                f"early stop: no validation improvement for {patience} "
+                f"epochs (best {best_bacc:.6f})"
+            )
+            break
     writer.close()
     return summary
 

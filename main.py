@@ -155,8 +155,7 @@ def main(argv=None):
         if args.predict:
             from dgcnn_tpu.eval.predict import predict
 
-            predict(
-                args.k, io, args.predict, args.predict_out,
+            kwargs = dict(
                 num_points=args.num_points, block_size=args.block_size,
                 num_classes=args.num_classes, num_features=args.num_features,
                 dropout=args.dropout, emb_dims=args.emb_dims,
@@ -165,6 +164,20 @@ def main(argv=None):
                 knn_impl=args.knn_impl, compute_dtype=args.compute_dtype,
                 classify_all=args.classify_all,
             )
+            if os.path.isdir(args.predict):
+                # directory mode: classify every .las/.h5, mirrored names
+                os.makedirs(args.predict_out, exist_ok=True)
+                for f in sorted(os.listdir(args.predict)):
+                    if f.rsplit(".", 1)[-1] not in ("las", "h5"):
+                        continue
+                    out = os.path.join(
+                        args.predict_out,
+                        f.rsplit(".", 1)[0] + "_classified.las",
+                    )
+                    predict(args.k, io, os.path.join(args.predict, f),
+                            out, **kwargs)
+            else:
+                predict(args.k, io, args.predict, args.predict_out, **kwargs)
         elif not args.eval:
             from dgcnn_tpu.train.loop import train_args
 
