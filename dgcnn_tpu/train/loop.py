@@ -297,4 +297,5 @@ def train_args(args, io: IOStream) -> dict:
         seed=args.seed,
         knn_impl=getattr(args, "knn_impl", "auto"),
         compute_dtype=getattr(args, "compute_dtype", None),
+        patience=getattr(args, "patience", None),
     )

@@ -81,6 +81,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min_class_num", type=int, default=100)
     p.add_argument("--model_label", type=str, default="dgcnn_model")
     p.add_argument("--min_class_confidence", type=float, default=0.8)
+    p.add_argument("--patience", type=int, default=None,
+                   help="early-stop after N epochs without validation "
+                        "improvement")
 
     # TPU knobs
     p.add_argument("--knn_impl", type=str, default="auto",
