@@ -145,7 +145,23 @@ def _snapshot_run_config(args) -> None:
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    import sys as _sys
+
+    argv = list(_sys.argv[1:] if argv is None else argv)
+    # --config file.json: JSON of flag defaults (explicit CLI flags win)
+    if "--config" in argv:
+        import json
+
+        i = argv.index("--config")
+        path = argv[i + 1]
+        del argv[i : i + 2]
+        with open(path) as f:
+            conf = json.load(f)
+        parser = build_parser()
+        parser.set_defaults(**conf)
+        args = parser.parse_args(argv)
+    else:
+        args = build_parser().parse_args(argv)
 
     from dgcnn_tpu.utils.logging import IOStream
 
