@@ -131,15 +131,21 @@ def _knn_kernel_packed(
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (qt, k_pad), 1)
     neg_inf = jnp.int32(-0x80000000)
 
-    def body(j, _):
+    # packed keys are UNIQUE (distinct low-13-bit column fields), so the
+    # sequence of row maxima is strictly decreasing: step j's winner is
+    # max{p : p < m_{j-1}}. That removes the knockout writeback entirely —
+    # one masked max-reduce per step instead of read+reduce+write.
+    def body(j, m_prev):
         p = packed_scr[:]
-        m = jnp.max(p, axis=1, keepdims=True)                  # (QT, 1)
+        m = jnp.max(
+            jnp.where(p < m_prev, p, neg_inf), axis=1, keepdims=True
+        )                                                      # (QT, 1)
         col = jnp.int32(n_pad - 1) - (m & jnp.int32(0x1FFF))
         idx_scr[:] = jnp.where(k_iota == j, col, idx_scr[:])
-        packed_scr[:] = jnp.where(p == m, neg_inf, p)
-        return ()
+        return m
 
-    jax.lax.fori_loop(0, k_real or k_pad, body, (), unroll=unroll)
+    m0 = jnp.full((qt, 1), jnp.int32(0x7FFFFFFF))
+    jax.lax.fori_loop(0, k_real or k_pad, body, m0, unroll=unroll)
     idx_ref[0] = idx_scr[:]
 
 
@@ -171,6 +177,10 @@ def _knn_kernel(
     iota_rev = n_pad - jax.lax.broadcasted_iota(jnp.int32, (qt, n_pad), 1)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (qt, k_pad), 1)
 
+    # (A no-writeback lexicographic variant — mask by "lex-below previous
+    # winner" instead of knocking out — measured SLOWER here: the two extra
+    # compare planes cost more than the saved write. The packed kernel gets
+    # the no-writeback win because its unique keys need no tie plane.)
     def body(j, _):
         s = scores_scr[:]
         m = jnp.max(s, axis=1, keepdims=True)                 # (QT, 1)
