@@ -56,6 +56,15 @@ def test_pallas_shape_stress(n, c, k, packed, rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("splits,k", [(2, 30), (4, 7)])
+def test_pallas_split_variant_exact(splits, k, rng):
+    x = jnp.asarray(rng.integers(0, 9, (1, 256, 4)).astype(np.float32))
+    want = np.asarray(knn(x, k, query_chunk=None))
+    got = np.asarray(knn_pallas(x, k, query_tile=128, interpret=True,
+                                packed=True, splits=splits))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pallas_query_tile_invariance(rng):
     x = jnp.asarray(rng.integers(0, 30, (1, 192, 5)).astype(np.float32))
     a = np.asarray(knn_pallas(x, 9, query_tile=64, interpret=True))
