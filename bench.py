@@ -268,7 +268,7 @@ def main():
     value = results["pallas-packed"]["points_per_sec"]
     out = {
         "metric": (f"points_per_sec_chip_infer_N{N}_k{K} "
-                   "(packed kNN, 99.7% recall; extras: f32-exact)"),
+                   "(packed kNN, ~99.5% recall; extras: f32-exact)"),
         "value": round(value, 1),
         "unit": "points/s",
         "vs_baseline": round(value / baseline, 2) if baseline else None,

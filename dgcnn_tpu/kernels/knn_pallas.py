@@ -122,29 +122,37 @@ def _knn_kernel_packed(
     qt = q.shape[0]
     bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
     # monotone int transform: s>=0 -> bits; s<0 -> INT_MIN - bits
-    # (verified order-equivalent to f32 compare; +-0 collide harmlessly)
-    key = jnp.where(bits >= 0, bits, jnp.int32(-0x80000000) - bits)
+    # (verified order-equivalent to f32 compare; +-0 collide harmlessly).
+    # The >>1 (arithmetic) halves the key range to (-2^30, 2^30] so any
+    # difference of two packed keys fits int32 — required by the wrapped-
+    # subtract extraction below. Net score precision: top 18 bits.
+    key = jnp.where(bits >= 0, bits, jnp.int32(-0x80000000) - bits) >> 1
     iota = jax.lax.broadcasted_iota(jnp.int32, (qt, n_pad), 1)
     packed = (key & jnp.int32(~0x1FFF)) | (jnp.int32(n_pad - 1) - iota)
     packed_scr[:] = packed
 
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (qt, k_pad), 1)
-    neg_inf = jnp.int32(-0x80000000)
+    int_min = jnp.int32(-0x80000000)
 
-    # packed keys are UNIQUE (distinct low-13-bit column fields), so the
+    # Packed keys are UNIQUE (distinct low-13-bit column fields), so the
     # sequence of row maxima is strictly decreasing: step j's winner is
-    # max{p : p < m_{j-1}}. That removes the knockout writeback entirely —
-    # one masked max-reduce per step instead of read+reduce+write.
+    # max{p : p < m_{j-1}} — no knockout writeback needed. The eligibility
+    # compare folds into the max via one wrapped subtract: with all key
+    # differences inside int32 (the >>1 above),
+    #     t = p - (m_prev + INT_MIN)
+    # maps eligible keys (p < m_prev) to positives ordered like p and
+    # ineligible ones far negative, so a single max-reduce does
+    # compare+select;  m_new = m_prev + (t_max + INT_MIN)  unwraps.
     def body(j, m_prev):
         p = packed_scr[:]
-        m = jnp.max(
-            jnp.where(p < m_prev, p, neg_inf), axis=1, keepdims=True
-        )                                                      # (QT, 1)
+        t = p - (m_prev + int_min)           # wraps; eligible -> positive
+        t_max = jnp.max(t, axis=1, keepdims=True)              # (QT, 1)
+        m = m_prev + (t_max + int_min)       # unwrap
         col = jnp.int32(n_pad - 1) - (m & jnp.int32(0x1FFF))
         idx_scr[:] = jnp.where(k_iota == j, col, idx_scr[:])
         return m
 
-    m0 = jnp.full((qt, 1), jnp.int32(0x7FFFFFFF))
+    m0 = jnp.max(packed, axis=1, keepdims=True) + jnp.int32(1)
     jax.lax.fori_loop(0, k_real or k_pad, body, m0, unroll=unroll)
     idx_ref[0] = idx_scr[:]
 
