@@ -57,9 +57,10 @@ def bench_jax() -> dict:
     rt = _roundtrip_s()
     log(f"host<->device round-trip: {rt*1e3:.1f} ms (subtracted)")
     results = {}
-    # headline: the fused Pallas exact-kNN path (bit-identical neighbour
-    # sets to the reference's top-k — measured 100% index match on device);
-    # 'approx' (lax.approx_max_k, recall 0.95) reported as diagnostics.
+    # three paths: 'pallas-exact' (bit-identical neighbour sets to the
+    # reference's top-k — 100% index match on device), 'pallas-packed'
+    # (the headline: wrapped-subtract extraction, ~99.5% set recall,
+    # deterministic) and 'approx' (lax.approx_max_k, recall 0.95).
     for tag, knn_impl in (
         ("pallas-exact", "pallas"),
         ("pallas-packed", "pallas_packed"),
