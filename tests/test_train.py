@@ -1,6 +1,8 @@
 """Train-step tests: loss decreases, schedules match torch formulas,
 state round-trips, data-parallel sharding over the 8-device CPU mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,6 +135,48 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def _run_dryrun_subprocess(setup_code: str, n: int):
+    """Run dryrun_multichip(n) in a child interpreter after `setup_code`,
+    with NO helpful XLA_FLAGS/JAX_PLATFORMS in the env (the driver's world)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
+    }
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    code = f"{setup_code}\nimport __graft_entry__ as g; g.dryrun_multichip({n})"
+    return subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=420,
+    )
+
+
+def test_dryrun_bootstraps_uninitialized_process():
+    """Driver scenario: fresh process, no XLA_FLAGS, backend uninitialized —
+    dryrun must self-bootstrap an n-device virtual CPU backend in-process
+    (MULTICHIP_r01 regression)."""
+    r = _run_dryrun_subprocess("", 2)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dryrun_multichip(2): ok" in r.stdout
+
+
+def test_dryrun_reexecs_when_backend_pinned():
+    """Process already initialized a 1-device backend: dryrun must detect the
+    shortage and re-exec a virtual-CPU child rather than crash."""
+    setup = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 1, 'setup expects a 1-device backend'\n"
+    )
+    r = _run_dryrun_subprocess(setup, 2)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dryrun_multichip(2): ok" in r.stdout
 
 
 def test_graft_entry_compiles_tiny():
