@@ -216,7 +216,8 @@ def bench_e2e_tile() -> dict | None:
             state = init_train_state(jax.random.key(0), cfg, tx)
             save_checkpoint(os.path.join(tmp, "m.npz"), state, epoch=0,
                             mBPCA=0.0)
-            io = IOStream(os.path.join(tmp, "log.txt"))
+            # stderr-backed: bench stdout carries ONLY the final JSON line
+            io = IOStream(os.path.join(tmp, "log.txt"), stream=sys.stderr)
             kwargs = dict(
                 num_points=N, block_size=30.0, num_classes=C,
                 num_features=F, emb_dims=EMB, model_label="m",

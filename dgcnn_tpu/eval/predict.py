@@ -141,7 +141,7 @@ def predict(
         pad = batch_size - len(chunk)
         if pad:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        pred, _ = predict_step(params, bn_state, chunk[:, :, :num_features])
+        pred, _, _ = predict_step(params, bn_state, chunk[:, :, :num_features])
         all_pred[start : start + batch_size] = np.asarray(pred)[: batch_size - pad]
 
     merged_pts = []

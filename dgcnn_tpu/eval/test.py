@@ -9,10 +9,13 @@ confusion matrix / per-class IoU.
 
 Dump format: the first four columns (x y z pred) match the reference
 (test.py:145-148) so postprocess tooling is interchangeable; with
-``dump_logits=True`` the row becomes ``x y z rni pred gt logits...`` — the
+``dump_logits=True`` the row becomes ``x y z feat pred gt logits...`` — the
 layout the reference's own postprocess scripts actually expect
 (/root/reference/postprocess_data/combine_results.py:61-79: xyz 0:3,
-rni 3:6, pred 6, gt 7, logits 8:).
+aux 3:6, pred 6, gt 7, logits 8:). Columns 3:6 carry the input's non-xyz
+feature columns (AGL, and return-number/intensity when the dataset has
+them), zero-padded to width 3; columns 8: are RAW logits — downstream
+prob_map/combine softmax them exactly once.
 """
 
 from __future__ import annotations
@@ -112,9 +115,9 @@ def test(
     for batch in dataset.batches(
         test_batch_size, shuffle=False, drop_last=False, with_mask=False
     ):
-        pred, probs = predict_step(params, bn_state, batch.points)
+        pred, _, logits = predict_step(params, bn_state, batch.points)
         pred = np.asarray(pred)
-        probs = np.asarray(probs)
+        logits = np.asarray(logits)
         cm += np.asarray(
             confusion_matrix(pred, batch.labels, num_classes,
                              weights=batch.mask)
@@ -125,11 +128,18 @@ def test(
             room_truth[int(room)].append(batch.labels[i][valid])
             row = [batch.points[i][valid][:, :3], pred[i][valid, None]]
             if dump_logits:
-                rni = np.zeros((valid.sum(), 3))
-                row = [batch.points[i][valid][:, :3], rni,
+                # columns 3:6 = real non-xyz input features (AGL/rni when
+                # present), zero-padded to width 3; columns 8: = RAW logits
+                feats = batch.points[i][valid][:, 3:6]
+                if feats.shape[1] < 3:
+                    feats = np.hstack([
+                        feats,
+                        np.zeros((valid.sum(), 3 - feats.shape[1])),
+                    ])
+                row = [batch.points[i][valid][:, :3], feats,
                        pred[i][valid, None],
                        batch.labels[i][valid, None].astype(float),
-                       probs[i][valid]]
+                       logits[i][valid]]
             dumps[int(room)].append(np.hstack(row))
 
     for room, rows in dumps.items():

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import os
 import subprocess
+import sys
 import tempfile
 
 import numpy as np
@@ -207,9 +208,32 @@ def _native_dir() -> str:
     return os.path.join(here, "native", "dtmgen")
 
 
+def _ensure_built(target: str) -> bool:
+    """Build a native/dtmgen artifact if missing or older than its source.
+
+    Binaries are not committed (non-reproducible); the Makefile builds them
+    on first use. Returns False (→ numpy fallback) when no toolchain."""
+    d = _native_dir()
+    path = os.path.join(d, target)
+    src = os.path.join(d, "dtmgen.cpp")
+    if os.path.exists(path) and (
+        not os.path.exists(src)
+        or os.path.getmtime(path) >= os.path.getmtime(src)
+    ):
+        return True
+    try:
+        subprocess.run(
+            ["make", "-C", d, target],
+            capture_output=True, timeout=300, check=True,
+        )
+    except Exception:
+        return os.path.exists(path)  # stale build beats no build
+    return os.path.exists(path)
+
+
 def _native_binary() -> str | None:
     cand = os.path.join(_native_dir(), "dtmgen")
-    return cand if os.path.exists(cand) else None
+    return cand if _ensure_built("dtmgen") else None
 
 
 _LIB = None
@@ -217,14 +241,14 @@ _LIB = None
 
 def _native_lib():
     """ctypes handle to libdtmgen.so (fastest path: in-memory, no temp
-    files or text serialisation). None when not built."""
+    files or text serialisation). None when not built and unbuildable."""
     global _LIB
     if _LIB is not None:
         return _LIB or None
     import ctypes
 
     path = os.path.join(_native_dir(), "libdtmgen.so")
-    if not os.path.exists(path):
+    if not _ensure_built("libdtmgen.so"):
         _LIB = False
         return None
     lib = ctypes.CDLL(path)
@@ -356,7 +380,8 @@ def _run_dtm_binary(
         try:
             subprocess.run(cmd, capture_output=True, timeout=600, check=True)
         except Exception as e:
-            print(f"dtm binary failed ({e}); falling back to numpy")
+            print(f"dtm binary failed ({e}); falling back to numpy",
+                  file=sys.stderr)
             return None
         dat = os.path.join(outdir, f"dtm_{int(min_x)}_{int(min_y)}.dat")
         if not os.path.exists(dat):

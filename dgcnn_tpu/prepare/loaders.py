@@ -9,6 +9,8 @@ accept any case).
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 
 from dgcnn_tpu.io.h5 import read_h5_pointcloud
@@ -86,7 +88,9 @@ def load_pointcloud(
         )
         dropped = int((~keep).sum())
         if dropped:
-            print(f"Filtered {dropped} noise points")
+            # diagnostic → stderr: stdout is reserved for machine-readable
+            # output in some callers (bench.py's one-JSON-line contract)
+            print(f"Filtered {dropped} noise points", file=sys.stderr)
         data = data[keep]
         labels = labels[keep]
     return data, labels

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 from typing import Any
 
 import jax
@@ -96,7 +97,7 @@ def try_resume(path: str, like: Any):
         return None
     except Exception as e:  # corrupt/incompatible — restart from scratch
         print(f"checkpoint {path} unusable ({type(e).__name__}: {e}); "
-              "starting fresh")
+              "starting fresh", file=sys.stderr)
         return None
 
 

@@ -218,10 +218,11 @@ def train(
                 validation_batch_size, epoch=epoch, with_mask=False,
                 shuffle=False, drop_last=False,
             ):
-                pts, labels, _ = _device_put_sharded(
+                pts, labels, mask = _device_put_sharded(
                     (batch.points, batch.labels, batch.mask), mesh
                 )
-                out = eval_step(state.params, state.bn_state, pts, labels)
+                out = eval_step(state.params, state.bn_state, pts, labels,
+                                mask)
                 cm_sum += np.asarray(out["confusion"])
                 loss_sum += float(out["loss"]) * len(batch.points)
                 count += len(batch.points)

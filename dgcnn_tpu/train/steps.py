@@ -193,17 +193,20 @@ def make_train_step(
 def make_eval_step(cfg: DGCNNConfig, *, smoothing: bool = True) -> Callable:
     """Jitted eval step: running-stat BN, loss on logits, full-point
     confusion matrix (reference validation loop /root/reference/
-    train.py:254-297, minus its double-softmax loss bug)."""
+    train.py:254-297, minus its double-softmax loss bug). ``mask`` weights
+    both the loss and the confusion matrix so padded/duplicated points in
+    pad-collated batches are not scored (None = all points valid)."""
 
     @jax.jit
-    def step(params, bn_state, points, labels):
+    def step(params, bn_state, points, labels, mask=None):
         logits, _ = apply_dgcnn(params, bn_state, points, cfg, train=False)
+        if mask is None:
+            mask = jnp.ones(labels.shape, jnp.float32)
         loss = masked_smoothed_cross_entropy(
-            logits, labels, jnp.ones(labels.shape, jnp.float32),
-            smoothing=smoothing,
+            logits, labels, mask, smoothing=smoothing,
         )
         pred = jnp.argmax(logits, axis=-1)
-        cm = confusion_matrix(pred, labels, cfg.num_classes)
+        cm = confusion_matrix(pred, labels, cfg.num_classes, weights=mask)
         return {"loss": loss, "confusion": cm, "pred": pred, "logits": logits}
 
     return step
@@ -217,7 +220,9 @@ def make_predict_step(
     """Jitted inference step with the reference's confidence thresholding:
     points whose max softmax probability is below ``min_class_confidence``
     are labelled LAS class 31 UNCLASSIFIED (/root/reference/test.py:15,
-    :122-127)."""
+    :122-127). Returns (pred, probs, logits) — raw logits are what the
+    postprocess dump contract stores (combine_results.py:61-79 softmaxes
+    columns 8: itself; dumping probs would double-softmax downstream)."""
 
     @jax.jit
     def step(params, bn_state, points):
@@ -226,6 +231,6 @@ def make_predict_step(
         conf = jnp.max(probs, axis=-1)
         pred = jnp.argmax(probs, axis=-1)
         pred = jnp.where(conf < min_class_confidence, unclassified, pred)
-        return pred.astype(jnp.int32), probs
+        return pred.astype(jnp.int32), probs, logits
 
     return step

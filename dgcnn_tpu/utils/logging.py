@@ -14,14 +14,19 @@ import time
 
 
 class IOStream:
-    """Tee'd line logger: prints and appends to a log file."""
+    """Tee'd line logger: prints and appends to a log file.
 
-    def __init__(self, path: str):
+    ``stream`` selects the console side of the tee (default stdout, matching
+    /root/reference/util.py:37-58); pass ``sys.stderr`` where stdout is a
+    machine-readable channel (bench.py's one-JSON-line contract)."""
+
+    def __init__(self, path: str, stream=None):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self.f = open(path, "a")
+        self.stream = stream
 
     def cprint(self, text: str) -> None:
-        print(text)
+        print(text, file=self.stream, flush=True)
         self.f.write(text + "\n")
         self.f.flush()
 

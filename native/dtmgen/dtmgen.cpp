@@ -154,17 +154,23 @@ Mask Dilate(const Mask& m, int iters) {
 }
 
 void FillWaterHoles(std::vector<float>* out, int edge) {
-  // interior no-data holes -> min of adjacent valid heights, sweeping inward
+  // interior no-data holes -> min of adjacent valid heights, sweeping inward.
+  // Double-buffered (Jacobi): each iteration reads only the previous
+  // iteration's grid, matching the numpy twin (_fill_water_holes in
+  // dgcnn_tpu/prepare/dtm.py) — an in-place sweep would propagate values
+  // right/down within one pass and fill asymmetric multi-cell holes with
+  // different heights.
+  std::vector<float> prev(*out);
   for (int it = 0; it < edge; ++it) {
     bool changed = false;
     for (int r = 0; r < edge; ++r)
       for (int c = 0; c < edge; ++c) {
         size_t i = size_t(r) * edge + c;
-        if ((*out)[i] != kNoData) continue;
+        if (prev[i] != kNoData) continue;
         float best = std::numeric_limits<float>::infinity();
         auto consider = [&](int rr, int cc) {
           if (rr < 0 || cc < 0 || rr >= edge || cc >= edge) return;
-          float v = (*out)[size_t(rr) * edge + cc];
+          float v = prev[size_t(rr) * edge + cc];
           if (v != kNoData && v < best) best = v;
         };
         consider(r - 1, c);
@@ -177,6 +183,7 @@ void FillWaterHoles(std::vector<float>* out, int edge) {
         }
       }
     if (!changed) break;
+    prev = *out;
   }
 }
 

@@ -136,3 +136,35 @@ def test_build_dtm_prefers_native(rng, monkeypatch):
     b = build_dtm(pts, use_native=False, desired_seed_cell_size=10)
     assert a.shape == b.shape
     np.testing.assert_allclose(a[:, 2], b[:, 2], atol=1e-3)
+
+
+def test_water_fill_asymmetric_hole_native_matches_numpy():
+    """Jacobi vs Gauss-Seidel regression: an asymmetric multi-cell interior
+    hole whose boundary heights differ per side must fill identically in the
+    C++ and numpy implementations (in-place sweeping would propagate values
+    right/down within one pass and diverge)."""
+    from dgcnn_tpu.prepare.dtm import _dtm_grid_native
+
+    rng = np.random.default_rng(7)
+    # 20x20 m; ground plane tilted hard in x so the hole's left/right
+    # boundary heights differ a lot; carve a 3x6-cell L-shaped hole
+    xy = rng.random((30000, 2)) * 20
+    hole = (
+        (xy[:, 0] > 6) & (xy[:, 0] < 9) & (xy[:, 1] > 4) & (xy[:, 1] < 10)
+    ) | ((xy[:, 0] > 9) & (xy[:, 0] < 12) & (xy[:, 1] > 4) & (xy[:, 1] < 7))
+    xy = xy[~hole]
+    z = 1.0 * xy[:, 0] + 0.1 * xy[:, 1]
+    pts = np.column_stack([xy, z])
+
+    kwargs = dict(min_x=0.0, min_y=0.0, width=20.0, cell_size=1.0,
+                  seed_cell_size=10.0, boundary_block_width=2,
+                  detect_water=True, remove_buildings=False)
+    ours = dtm_grid(pts, **{k: v for k, v in kwargs.items()
+                            if k not in ("seed_cell_size",)},
+                    seed_cell_size=10.0)
+    native = _dtm_grid_native(pts, 0.0, 0.0, 20.0, 1.0, 10.0, 2, True, False)
+    if native is None:
+        pytest.skip("libdtmgen.so not built and no toolchain")
+    assert (ours != NO_DATA).all()  # water fill closed the hole
+    np.testing.assert_array_equal(native == NO_DATA, ours == NO_DATA)
+    np.testing.assert_allclose(native, ours, atol=1e-3)

@@ -259,6 +259,15 @@ def test_eval_dumps_feed_postprocess(trained, processed, workdir):
     assert dumps
     rows = np.loadtxt(dumps[0])
     assert rows.shape[1] == 8 + NUM_CLASSES
+    # columns 8: are RAW logits (downstream softmaxes exactly once), not
+    # probabilities — a trained model's logit rows don't sum to 1
+    assert np.abs(rows[:, 8:].sum(1) - 1.0).max() > 1e-3
+    # column 6 = pred consistent with the dumped logits (threshold 0 here)
+    np.testing.assert_array_equal(rows[:, 6], rows[:, 8:].argmax(1))
+    # columns 3:6 = real non-xyz input features zero-padded: with F=4 the
+    # AGL feature lands in col 3 (varies over the scene), cols 4:6 are pad
+    assert rows[:, 3].std() > 0
+    np.testing.assert_array_equal(rows[:, 4:6], 0)
 
     probs = process_dir(str(pred_dir), str(workdir / "probd"), "1")
     assert probs

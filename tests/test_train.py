@@ -84,12 +84,15 @@ def test_eval_and_predict_steps():
     ev = make_eval_step(CFG)(state.params, state.bn_state, pts, labels)
     assert ev["pred"].shape == labels.shape
     assert np.isfinite(float(ev["loss"]))
-    pred, probs = make_predict_step(CFG, min_class_confidence=0.999)(
+    pred, probs, logits = make_predict_step(CFG, min_class_confidence=0.999)(
         state.params, state.bn_state, pts
     )
     # an untrained model is rarely 99.9% confident -> mostly UNCLASSIFIED
     assert (np.asarray(pred) == 31).mean() > 0.5
     np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.softmax(logits, -1)), np.asarray(probs), atol=1e-6
+    )
 
 
 def test_data_parallel_step_matches_single_device():

@@ -87,3 +87,17 @@ def test_viz_tsne_and_clusters(tmp_path, rng):
 
     back = read_las(str(tmp_path / "c.las"))
     assert back.point_source_id is not None
+
+
+def test_iostream_stderr_keeps_stdout_clean(tmp_path, capsys):
+    """bench.py's one-JSON-line stdout contract: a stderr-backed IOStream
+    must never write to stdout (still tees to the log file)."""
+    import sys
+
+    path = str(tmp_path / "err.log")
+    with IOStream(path, stream=sys.stderr) as io:
+        io.cprint("diagnostic line")
+    out, err = capsys.readouterr()
+    assert out == ""
+    assert "diagnostic line" in err
+    assert "diagnostic line" in open(path).read()
