@@ -179,8 +179,79 @@ def test(
     }
 
 
+def test_all(
+    k: int,
+    io: IOStream,
+    data_dirs: "dict[str, str] | list[str]",
+    **kwargs,
+) -> dict:
+    """Aggregate evaluation across multiple area datasets — the
+    ``test_area == 'all'`` branch (/root/reference/test.py:182-193): run
+    each area, then report overall accuracy / balanced accuracy / mean IoU
+    over the union of all points.
+
+    ``data_dirs``: {area_name: npy_dir} (a list uses each dir's basename as
+    the area name). All metrics derive from the summed confusion matrix —
+    identical to concatenating every room's preds/labels as the reference
+    does, without holding them in memory.
+    """
+    if not isinstance(data_dirs, dict):
+        data_dirs = {
+            os.path.basename(os.path.normpath(d)) or str(i): d
+            for i, d in enumerate(data_dirs)
+        }
+    kwargs.pop("test_area", None)
+    cm_sum = None
+    per_area = {}
+    for area, d in data_dirs.items():
+        m = test(k, io, data_dir=d, test_area=area, **kwargs)
+        per_area[area] = m
+        cm_sum = m["confusion"] if cm_sum is None else cm_sum + m["confusion"]
+    acc = float(accuracy_from_confusion(cm_sum))
+    bacc = float(balanced_accuracy_from_confusion(cm_sum))
+    from dgcnn_tpu.ops.metrics import iou_from_confusion
+
+    ious = np.asarray(iou_from_confusion(cm_sum))
+    io.cprint(
+        "Overall Test :: test acc: %.6f, test avg acc: %.6f, test iou: %.6f"
+        % (acc, bacc, float(np.nanmean(ious)))
+    )
+    return {
+        "accuracy": acc,
+        "balanced_accuracy": bacc,
+        "confusion": cm_sum,
+        "iou": ious,
+        "mean_iou": float(np.nanmean(ious)),
+        "areas": per_area,
+    }
+
+
 def test_args(args, io: IOStream) -> dict:
-    """CLI adapter (/root/reference/test.py:195-221)."""
+    """CLI adapter (/root/reference/test.py:195-221). ``--validation_area
+    all`` aggregates across comma-separated ``--data_dir`` entries."""
+    area = getattr(args, "validation_area", "1")
+    if area == "all":
+        dirs = [d for d in str(args.data_dir).split(",") if d]
+        return test_all(
+            args.k,
+            io,
+            dirs,
+            num_points=args.num_points,
+            num_classes=args.num_classes,
+            num_features=args.num_features,
+            test_batch_size=args.test_batch_size,
+            dropout=args.dropout,
+            emb_dims=args.emb_dims,
+            use_all_points=args.use_all_points,
+            min_class_confidence=args.min_class_confidence,
+            model_label=args.model_label,
+            model_root=args.model_root,
+            pred_dir=args.test_visu_dir,
+            seed=args.seed,
+            knn_impl=getattr(args, "knn_impl", "auto"),
+            compute_dtype=getattr(args, "compute_dtype", None),
+            validation_prop=args.validation_prop,
+        )
     return test(
         args.k,
         io,

@@ -241,7 +241,8 @@ def apply_dgcnn(
     train: bool = False,
     rng: jax.Array | None = None,
     depth: int = 10,
-) -> tuple[jax.Array, BNState]:
+    with_logits: bool = False,
+) -> tuple[jax.Array, BNState] | tuple[tuple[jax.Array, jax.Array], BNState]:
     """Forward pass.
 
     Args:
@@ -256,9 +257,14 @@ def apply_dgcnn(
             5→conv6 out (B,N,emb), 6→global max (B,emb),
             7→concat global+locals (B,N,emb+192), 8→conv7 out, 9→conv8 out,
             10 (default)→logits (B,N,num_classes).
+        with_logits: when True and depth < 10, run the FULL forward and
+            return ((logits, tap), new_state) in one pass — the visualiser
+            needs both and a second forward would double the cost
+            (/root/reference/visualisation.py:104-110 intended semantics).
 
     Returns:
-        (output, new_state). ``new_state == state`` in eval mode.
+        (output, new_state), or ((logits, tap), new_state) with
+        ``with_logits=True``. ``new_state == state`` in eval mode.
     """
     if x.ndim != 3 or x.shape[-1] != cfg.num_features:
         raise ValueError(
@@ -272,54 +278,72 @@ def apply_dgcnn(
     )
     new_state.update(upd)
     if depth == 1:
-        return x1, new_state
+        if not with_logits:
+            return x1, new_state
+        tap = x1
 
     x2, upd = _edge_stage_two_conv(
         x1, cfg, params, state, ("conv3", "bn3", "conv4", "bn4"), train=train
     )
     new_state.update(upd)
     if depth == 2:
-        return x2, new_state
+        if not with_logits:
+            return x2, new_state
+        tap = x2
 
     x3, upd = _edge_stage_single_conv(x2, cfg, params, state, train=train)
     new_state.update(upd)
     if depth == 3:
-        return x3, new_state
+        if not with_logits:
+            return x3, new_state
+        tap = x3
 
     locals_ = jnp.concatenate([x1, x2, x3], axis=-1)  # (B, N, 192)
     if depth == 4:
-        return locals_, new_state
+        if not with_logits:
+            return locals_, new_state
+        tap = locals_
 
     emb = _mm(locals_, params["conv6"]["w"], cd)
     emb, s6 = _batch_norm(emb, params["bn6"], state["bn6"], train=train)
     emb = _lrelu(emb)
     new_state["bn6"] = s6
     if depth == 5:
-        return emb, new_state
+        if not with_logits:
+            return emb, new_state
+        tap = emb
 
     global_ = jnp.max(emb, axis=1)  # (B, emb)
     if depth == 6:
-        return global_, new_state
+        if not with_logits:
+            return global_, new_state
+        tap = global_
 
     n = x.shape[1]
     g = jnp.broadcast_to(global_[:, None, :], (x.shape[0], n, cfg.emb_dims))
     h = jnp.concatenate([g, x1, x2, x3], axis=-1)  # (B, N, emb+192)
     if depth == 7:
-        return h, new_state
+        if not with_logits:
+            return h, new_state
+        tap = h
 
     h = _mm(h, params["conv7"]["w"], cd)
     h, s7 = _batch_norm(h, params["bn7"], state["bn7"], train=train)
     h = _lrelu(h)
     new_state["bn7"] = s7
     if depth == 8:
-        return h, new_state
+        if not with_logits:
+            return h, new_state
+        tap = h
 
     h = _mm(h, params["conv8"]["w"], cd)
     h, s8 = _batch_norm(h, params["bn8"], state["bn8"], train=train)
     h = _lrelu(h)
     new_state["bn8"] = s8
     if depth == 9:
-        return h, new_state
+        if not with_logits:
+            return h, new_state
+        tap = h
 
     if train:
         if rng is None:
@@ -329,6 +353,8 @@ def apply_dgcnn(
         h = jnp.where(mask, h / keep, 0.0)
 
     logits = _mm(h, params["conv9"]["w"], cd)
+    if with_logits:
+        return (logits, logits if depth >= 10 else tap), new_state
     return logits, new_state
 
 

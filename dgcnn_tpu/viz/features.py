@@ -23,10 +23,13 @@ from dgcnn_tpu.models.dgcnn import DGCNNConfig, apply_dgcnn
 def _block_features(
     params, bn_state, cfg: DGCNNConfig, points: np.ndarray, depth: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(features (N, C_d), predicted labels (N,)) for one block."""
+    """(features (N, C_d), predicted labels (N,)) for one block.
+    One forward pass: ``with_logits=True`` returns the depth tap and the
+    logits together instead of running the model twice."""
     x = np.asarray(points, np.float32)[None]
-    feats, _ = apply_dgcnn(params, bn_state, x, cfg, depth=depth)
-    logits, _ = apply_dgcnn(params, bn_state, x, cfg, depth=10)
+    (logits, feats), _ = apply_dgcnn(
+        params, bn_state, x, cfg, depth=depth, with_logits=True
+    )
     pred = np.asarray(jax.numpy.argmax(logits, -1))[0]
     f = np.asarray(feats)[0]
     if f.ndim == 1:  # depth 6: global vector — tile per point

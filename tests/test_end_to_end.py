@@ -282,6 +282,33 @@ def test_eval_dumps_feed_postprocess(trained, processed, workdir):
     assert m["accuracy"] > 0.4 and m["rooms"] >= 1
 
 
+def test_multi_area_aggregate_eval(trained, processed, workdir):
+    """test_area='all': aggregate acc/bacc/IoU across area dirs
+    (/root/reference/test.py:182-193). Two copies of the same area must
+    double the confusion matrix and keep every derived metric identical."""
+    from dgcnn_tpu.eval.test import test as run_test, test_all
+
+    _, npy_dir = processed
+    model_root, _ = trained
+    io = IOStream(str(workdir / "all.log"))
+    kwargs = dict(
+        num_points=NUM_POINTS, num_classes=NUM_CLASSES, num_features=4,
+        test_batch_size=2, emb_dims=EMB, min_class_confidence=0.0,
+        model_root=str(model_root), pred_dir=str(workdir / "all_dumps"),
+        validation_prop=0.25, seed=1,
+    )
+    single = run_test(K, io, data_dir=str(npy_dir), test_area="1", **kwargs)
+    agg = test_all(K, io, {"A": str(npy_dir), "B": str(npy_dir)}, **kwargs)
+    np.testing.assert_allclose(agg["confusion"], 2 * single["confusion"])
+    assert agg["accuracy"] == pytest.approx(single["accuracy"])
+    assert agg["balanced_accuracy"] == pytest.approx(
+        single["balanced_accuracy"])
+    np.testing.assert_allclose(agg["iou"], single["iou"], atol=1e-9)
+    assert set(agg["areas"]) == {"A", "B"}
+    with open(workdir / "all.log") as f:
+        assert "Overall Test ::" in f.read()
+
+
 def test_dataset_use_all_points(processed):
     """use_all_points=True returns full rooms; pad collation batches them."""
     from dgcnn_tpu.data.dataset import FugroDataset

@@ -143,3 +143,18 @@ def test_jit_forward(model_and_input):
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(ref), atol=1e-5, rtol=1e-5
     )
+
+
+def test_with_logits_single_pass_taps(model_and_input):
+    """with_logits=True returns (logits, tap) from ONE forward, equal to the
+    standalone depth tap and the full forward (viz uses this to avoid
+    running the model twice per block)."""
+    params, state, x = model_and_input
+    full, _ = apply_dgcnn(params, state, x, CFG)
+    for depth in list(range(1, 11)):
+        (logits, tap), _ = apply_dgcnn(
+            params, state, x, CFG, depth=depth, with_logits=True
+        )
+        want, _ = apply_dgcnn(params, state, x, CFG, depth=depth)
+        np.testing.assert_array_equal(np.asarray(tap), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(logits), np.asarray(full))
