@@ -52,16 +52,16 @@ def global_batch_parts(global_batch: int) -> tuple[int, int]:
 
 
 def all_processes_agree(value: float) -> bool:
-    """Cheap cross-host consistency check (e.g. on metrics before
-    checkpointing): true iff every process passes the same value."""
-    import jax.numpy as jnp
+    """Cross-host consistency check (e.g. on metrics before checkpointing):
+    true iff every process passes the same value. Single-process: trivially
+    true. Multi-process: gathers every process's value with
+    ``multihost_utils.process_allgather`` (the maintained API for exactly
+    this) and compares."""
+    if jax.process_count() == 1:
+        return True
+    from jax.experimental import multihost_utils
 
-    arr = jax.make_array_from_process_local_data(
-        jax.sharding.NamedSharding(
-            jax.sharding.Mesh(np.array(jax.devices()), ("d",)),
-            jax.sharding.PartitionSpec("d"),
-        ),
-        np.full((len(jax.local_devices()),), value, np.float32),
-    ) if jax.process_count() > 1 else jnp.full((1,), value)
-    vals = np.asarray(jax.jit(lambda a: a, out_shardings=None)(arr))
+    vals = np.asarray(
+        multihost_utils.process_allgather(np.float32(value))
+    )
     return bool(np.all(vals == vals.flat[0]))

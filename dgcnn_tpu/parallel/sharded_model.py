@@ -13,10 +13,15 @@ mesh's 'points' axis:
 * everything else (1×1 convs, eval BatchNorm, LeakyReLU) is per-point and
   needs no communication.
 
-Eval only: training BatchNorm batch statistics would additionally need
-cross-shard psums (planned; the data-parallel path covers training).
-Outputs are bit-identical to the unsharded eval forward up to kNN tie
-order across shard boundaries (tests compare exactly on tie-free data).
+Training is supported too (:func:`make_sharded_train_step`): BatchNorm
+batch statistics are psum'd over BOTH mesh axes (matching the global-batch
+semantics of the jit data-parallel path), the global max-pool uses a
+differentiable ``all_gather`` + max (``pmax`` has no transpose rule), the
+masked loss / confusion matrix are psum'd, and gradients flow through the
+``shard_map`` (ppermute/psum transposes) back to the replicated params.
+Outputs are bit-identical to the unsharded forward up to kNN tie order
+across shard boundaries and float reassociation in the psummed reductions
+(tests compare on tie-free data at 1e-5).
 """
 
 from __future__ import annotations
@@ -28,6 +33,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from dgcnn_tpu.models.dgcnn import (
+    _BN_EPS,
+    _BN_MOMENTUM,
     DGCNNConfig,
     _batch_norm,
     _lrelu,
@@ -37,6 +44,7 @@ from dgcnn_tpu.ops.edgeconv import gather_neighbors
 from dgcnn_tpu.parallel.ring_knn import ring_knn_local
 
 AXIS = "points"
+_BOTH = ("data", AXIS)
 
 
 def _ring_gather(feats_local: jax.Array, gidx: jax.Array) -> jax.Array:
@@ -127,6 +135,195 @@ def _forward_local(params, state, x, cfg: DGCNNConfig):
     h, _ = _batch_norm(h, params["bn8"], state["bn8"], train=False)
     h = _lrelu(h)
     return _mm(h, params["conv9"]["w"], cfg._cdtype)
+
+
+def _batch_norm_train_sharded(x, p, s):
+    """Training BatchNorm with batch statistics psum'd over the full mesh.
+
+    Matches the torch semantics of models.dgcnn._batch_norm (two-pass
+    mean/var, biased var for normalisation, unbiased for the running
+    update) computed over the GLOBAL batch — identical to what XLA's
+    auto-sharded jit computes for the data-parallel path."""
+    axes = tuple(range(x.ndim - 1))
+    n_repl = 1
+    for a in _BOTH:
+        n_repl *= jax.lax.axis_size(a)
+    count = (x.size // x.shape[-1]) * n_repl
+    mean = jax.lax.psum(jnp.sum(x, axis=axes), _BOTH) / count
+    var = jax.lax.psum(jnp.sum(jnp.square(x - mean), axis=axes), _BOTH) / count
+    unbiased = var * (count / max(count - 1, 1))
+    new_s = {
+        "mean": (1 - _BN_MOMENTUM) * s["mean"] + _BN_MOMENTUM * mean,
+        "var": (1 - _BN_MOMENTUM) * s["var"] + _BN_MOMENTUM * unbiased,
+    }
+    inv = jax.lax.rsqrt(var + _BN_EPS)
+    return (x - mean) * (inv * p["gamma"]) + p["beta"], new_s
+
+
+def _edge_stage_sharded_train(x, params, state, names, cfg):
+    """Two-conv EdgeConv stage, training mode (psum'd BN stats)."""
+    conv_a, bn_a, conv_b, bn_b = names
+    w = params[conv_a]["w"]
+    c = x.shape[-1]
+    w_d, w_x = w[:c], w[c:]
+    idx = ring_knn_local(x, cfg.k, AXIS)
+    a = _mm(x, w_d, cfg._cdtype)
+    bvec = _mm(x, w_x - w_d, cfg._cdtype)
+    e = _ring_gather(a, idx) + bvec[:, :, None, :]
+    e, s_a = _batch_norm_train_sharded(e, params[bn_a], state[bn_a])
+    e = _lrelu(e)
+    e = _mm(e, params[conv_b]["w"], cfg._cdtype)
+    e, s_b = _batch_norm_train_sharded(e, params[bn_b], state[bn_b])
+    return jnp.max(_lrelu(e), axis=2), {bn_a: s_a, bn_b: s_b}
+
+
+def _forward_local_train(params, state, x, rng, cfg: DGCNNConfig):
+    """shard_map training forward: (B_l, N_l, F) -> (logits, new_bn_state).
+
+    Dropout draws per-shard from ``rng`` folded with the shard's linear
+    mesh position — statistically equivalent to (but not bitwise the same
+    as) the unsharded pattern; grad-parity tests run with dropout=0.
+    """
+    new_state = dict(state)
+    x1, upd = _edge_stage_sharded_train(
+        x, params, state, ("conv1", "bn1", "conv2", "bn2"), cfg
+    )
+    new_state.update(upd)
+    x2, upd = _edge_stage_sharded_train(
+        x1, params, state, ("conv3", "bn3", "conv4", "bn4"), cfg
+    )
+    new_state.update(upd)
+    # stage 3: single conv, training BN over (B, N, k)
+    w = params["conv5"]["w"]
+    c = x2.shape[-1]
+    w_d, w_x = w[:c], w[c:]
+    idx = ring_knn_local(x2, cfg.k, AXIS)
+    a = _mm(x2, w_d, cfg._cdtype)
+    bvec = _mm(x2, w_x - w_d, cfg._cdtype)
+    e = _ring_gather(a, idx) + bvec[:, :, None, :]
+    e, s5 = _batch_norm_train_sharded(e, params["bn5"], state["bn5"])
+    x3 = jnp.max(_lrelu(e), axis=2)
+    new_state["bn5"] = s5
+
+    locals_ = jnp.concatenate([x1, x2, x3], axis=-1)
+    emb = _mm(locals_, params["conv6"]["w"], cfg._cdtype)
+    emb, s6 = _batch_norm_train_sharded(emb, params["bn6"], state["bn6"])
+    emb = _lrelu(emb)
+    new_state["bn6"] = s6
+    # global max over the sharded point axis: all_gather (differentiable;
+    # pmax has no transpose rule) then max over shards
+    loc = jnp.max(emb, axis=1)                              # (B_l, emb)
+    glob = jnp.max(jax.lax.all_gather(loc, AXIS), axis=0)   # (B_l, emb)
+
+    n_local = x.shape[1]
+    g = jnp.broadcast_to(
+        glob[:, None, :], (x.shape[0], n_local, cfg.emb_dims)
+    )
+    h = jnp.concatenate([g, x1, x2, x3], axis=-1)
+    h = _mm(h, params["conv7"]["w"], cfg._cdtype)
+    h, s7 = _batch_norm_train_sharded(h, params["bn7"], state["bn7"])
+    h = _lrelu(h)
+    new_state["bn7"] = s7
+    h = _mm(h, params["conv8"]["w"], cfg._cdtype)
+    h, s8 = _batch_norm_train_sharded(h, params["bn8"], state["bn8"])
+    h = _lrelu(h)
+    new_state["bn8"] = s8
+
+    if cfg.dropout > 0.0:
+        me = (jax.lax.axis_index("data") * jax.lax.axis_size(AXIS)
+              + jax.lax.axis_index(AXIS))
+        keep = 1.0 - cfg.dropout
+        dmask = jax.random.bernoulli(
+            jax.random.fold_in(rng, me), keep, h.shape
+        )
+        h = jnp.where(dmask, h / keep, 0.0)
+    logits = _mm(h, params["conv9"]["w"], cfg._cdtype)
+    return logits, new_state
+
+
+def make_sharded_train_step(
+    cfg: DGCNNConfig,
+    tx,
+    mesh: Mesh,
+    *,
+    smoothing: bool = True,
+    donate: bool = False,
+):
+    """Jitted train step with the point axis sharded over mesh axis 'points'
+    and the batch over 'data' (sequence parallelism for blocks too large
+    for one chip — SURVEY.md §5 long-context plan).
+
+    Takes ``(state, points (B,N,F), labels (B,N), mask (B,N))`` like
+    :func:`dgcnn_tpu.train.steps.make_train_step` and returns
+    ``(new_state, {'loss', 'confusion'})``. Gradients/metrics are psum'd
+    across the whole mesh; params and optimizer state stay replicated.
+    """
+    import optax
+
+    from dgcnn_tpu.ops.losses import masked_smoothed_cross_entropy
+    from dgcnn_tpu.ops.metrics import confusion_matrix
+    from dgcnn_tpu.train.steps import TrainState
+
+    spec_x = P("data", AXIS, None)
+    spec_l = P("data", AXIS)
+    repl = P()
+
+    def body(params, bn_state, points, labels, mask, rng):
+        logits, new_bn = _forward_local_train(
+            params, bn_state, points, rng, cfg
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        n_class = logits.shape[-1]
+        true_logp = jnp.take_along_axis(
+            logp, labels[..., None], axis=-1
+        )[..., 0]
+        if smoothing:
+            eps = 0.2
+            off = eps / (n_class - 1)
+            per_point = -(off * jnp.sum(logp, axis=-1)
+                          + (1.0 - eps - off) * true_logp)
+        else:
+            per_point = -true_logp
+        w = mask.astype(per_point.dtype)
+        num = jax.lax.psum(jnp.sum(per_point * w), _BOTH)
+        den = jax.lax.psum(jnp.sum(w), _BOTH)
+        loss = num / jnp.maximum(den, 1.0)
+        pred = jnp.argmax(logits, axis=-1)
+        cm = jax.lax.psum(
+            confusion_matrix(pred, labels, cfg.num_classes, weights=mask),
+            _BOTH,
+        )
+        return loss, new_bn, cm
+
+    smapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(repl, repl, spec_x, spec_l, spec_l, repl),
+        out_specs=(repl, repl, repl),
+    )
+
+    def loss_fn(params, bn_state, points, labels, mask, rng):
+        loss, new_bn, cm = smapped(params, bn_state, points, labels, mask,
+                                   rng)
+        return loss, (new_bn, cm)
+
+    def step(state: TrainState, points, labels, mask):
+        rng, dropout_rng = jax.random.split(state.rng)
+        (loss, (new_bn, cm)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.bn_state, points, labels, mask, dropout_rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            bn_state=new_bn,
+            opt_state=new_opt,
+            rng=rng,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss, "confusion": cm}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))

@@ -90,8 +90,12 @@ def load_checkpoint(path: str, like: Any) -> tuple[Any, dict[str, float]]:
 
 def try_resume(path: str, like: Any):
     """Opportunistic resume (reference try/except semantics,
-    /root/reference/train.py:127-138): returns (state, metadata) or None."""
+    /root/reference/train.py:127-138): returns (state, metadata) or None.
+    Dispatches on layout: a directory is a sharded checkpoint
+    (:func:`save_checkpoint_sharded`), a file the single-host .npz."""
     try:
+        if os.path.isdir(path):
+            return load_checkpoint_sharded(path, like)
         return load_checkpoint(path, like)
     except FileNotFoundError:
         return None
@@ -99,6 +103,157 @@ def try_resume(path: str, like: Any):
         print(f"checkpoint {path} unusable ({type(e).__name__}: {e}); "
               "starting fresh", file=sys.stderr)
         return None
+
+
+# --------------------------------------------------------------------------
+# Sharded (multi-host-ready) checkpointing — SURVEY.md §5: "Orbax-style
+# sharded array checkpoints". Layout: a DIRECTORY holding one
+# ``shards_p{pid}.npz`` per process plus a ``manifest.json`` (tree names,
+# global shapes, per-shard index map, scalar metadata). Each process writes
+# only the array shards it owns (``shard.replica_id == 0`` dedupes
+# replicated leaves); restore reassembles global arrays on the template's
+# shardings from whichever shard files are visible, so a single-process
+# restart can read a checkpoint written by many processes as long as it
+# sees the whole directory (shared filesystem, as with orbax).
+
+
+def _slices_to_json(idx: tuple, shape: tuple[int, ...]) -> list:
+    out = []
+    for sl, dim in zip(idx, shape):
+        start = 0 if sl.start is None else int(sl.start)
+        stop = dim if sl.stop is None else int(sl.stop)
+        out.append([start, stop])
+    return out
+
+
+def _json_to_slices(spans: list) -> tuple:
+    return tuple(slice(a, b) for a, b in spans)
+
+
+def save_checkpoint_sharded(path: str, state: Any, **metadata: float) -> None:
+    """Save a (possibly sharded) pytree to directory ``path``.
+
+    Works with fully-addressable arrays (single process: everything) and
+    multi-process jax.Arrays (each process persists only the local shards
+    it owns). Each shard file carries its own ``__index__`` (array key ->
+    leaf number + global-index spans), so the loader needs no global
+    coordination metadata. Every file is written atomically; process 0
+    writes the manifest last, so a crashed writer never leaves a
+    loadable-looking but incomplete checkpoint.
+    """
+    pid, n_proc = jax.process_index(), jax.process_count()
+    os.makedirs(path, exist_ok=True)
+    flat, _ = jax.tree_util.tree_flatten_with_path(state)
+    leaves_meta = []
+    arrays: dict[str, np.ndarray] = {}
+    index: list[dict] = []
+    for i, (p, leaf) in enumerate(flat):
+        name = "/".join(str(getattr(q, "key", getattr(q, "idx", q)))
+                        for q in p)
+        is_key = _is_prng_key(leaf)
+        raw = jax.numpy.asarray(
+            jax.random.key_data(leaf) if is_key else leaf
+        )
+        leaves_meta.append({
+            "name": name,
+            "is_key": bool(is_key),
+            "shape": list(raw.shape),
+            "dtype": str(raw.dtype),
+        })
+        for j, sh in enumerate(getattr(raw, "addressable_shards", ())):
+            if sh.replica_id != 0:  # replicated copy — another file owns it
+                continue
+            akey = f"leaf{i}_s{j}"
+            arrays[akey] = np.asarray(sh.data)
+            index.append({
+                "key": akey,
+                "leaf": i,
+                "index": _slices_to_json(sh.index, raw.shape),
+            })
+
+    tmp = os.path.join(path, f".shards_p{pid}.npz.tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, __index__=json.dumps(index), **arrays)
+    os.replace(tmp, os.path.join(path, f"shards_p{pid}.npz"))
+
+    if n_proc > 1:  # every shard file must exist before the manifest
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("dgcnn_ckpt_shards_written")
+    if pid == 0:
+        manifest = {
+            "leaves": leaves_meta,
+            "n_processes": n_proc,
+            "metadata": {k: float(v) for k, v in metadata.items()},
+        }
+        tmp = os.path.join(path, ".manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(path, "manifest.json"))
+
+
+def load_checkpoint_sharded(path: str, like: Any) -> tuple[Any, dict]:
+    """Restore a pytree saved by :func:`save_checkpoint_sharded`.
+
+    Scans every ``shards_p*.npz`` present in the directory, reassembles
+    each leaf from the recorded global-index spans, verifies full coverage,
+    and places the result on the corresponding ``like`` leaf's sharding
+    (so a resumed run re-shards exactly as the template dictates — also
+    across a different process count, as long as the whole directory is
+    visible, e.g. on a shared filesystem). Raises FileNotFoundError /
+    ValueError on missing or incompatible checkpoints (try_resume relies
+    on this).
+    """
+    import glob as _glob
+
+    man_path = os.path.join(path, "manifest.json")
+    if not os.path.exists(man_path):
+        raise FileNotFoundError(man_path)
+    with open(man_path) as f:
+        manifest = json.load(f)
+    flat, treedef = jax.tree_util.tree_flatten(like)
+    if len(flat) != len(manifest["leaves"]):
+        raise ValueError(
+            f"checkpoint has {len(manifest['leaves'])} leaves, "
+            f"expected {len(flat)}"
+        )
+    # collect (spans, data) per leaf from every shard file present
+    per_leaf: dict[int, list] = {}
+    for fp in sorted(_glob.glob(os.path.join(path, "shards_p*.npz"))):
+        with np.load(fp, allow_pickle=False) as z:
+            idx = json.loads(str(z["__index__"]))
+            for entry in idx:
+                per_leaf.setdefault(entry["leaf"], []).append(
+                    (entry["index"], z[entry["key"]])
+                )
+
+    leaves_out = []
+    for i, (meta, want) in enumerate(zip(manifest["leaves"], flat)):
+        shape = tuple(meta["shape"])
+        want_raw = jax.random.key_data(want) if _is_prng_key(want) else want
+        if tuple(np.shape(want_raw)) != shape:
+            raise ValueError(
+                f"leaf {meta['name']}: checkpoint {shape} vs "
+                f"{np.shape(want_raw)}"
+            )
+        full = np.zeros(shape, dtype=np.dtype(meta["dtype"]))
+        covered = np.zeros(shape, dtype=bool)
+        for spans, data in per_leaf.get(i, ()):
+            sl = _json_to_slices(spans)
+            full[sl] = data
+            covered[sl] = True
+        if not covered.all():
+            raise ValueError(f"leaf {meta['name']}: missing shards "
+                             f"({covered.mean():.0%} covered)")
+        arr = jax.numpy.asarray(full)
+        sharding = getattr(want, "sharding", None)
+        if sharding is not None:
+            arr = jax.device_put(arr, sharding)
+        if meta["is_key"]:
+            arr = jax.random.wrap_key_data(arr)
+        leaves_out.append(arr)
+    return (jax.tree_util.tree_unflatten(treedef, leaves_out),
+            manifest["metadata"])
 
 
 def load_named_subtrees(path: str, subtrees: dict[str, Any]) -> dict[str, Any]:

@@ -58,3 +58,70 @@ def test_sharded_indivisible_raises():
     params, state = init_dgcnn(jax.random.key(0), CFG)
     with pytest.raises(ValueError, match="divisible"):
         apply_dgcnn_sharded(params, state, jnp.zeros((2, 30, 3)), CFG, mesh)
+
+
+@needs8
+@pytest.mark.parametrize("n_sp", [2, 4])
+def test_sharded_train_step_matches_unsharded(n_sp, rng):
+    """Point-sharded TRAINING: one step on a (data, points) mesh must match
+    the unsharded train step — grads (via SGD-updated params, linear in the
+    gradient), psum'd BN batch stats, loss and confusion matrix — at <=1e-5
+    (dropout=0 so the only divergence is float reassociation in the psummed
+    reductions; SGD rather than Adam because Adam's sign-normalisation
+    amplifies float-noise-level differences of near-zero gradients to
+    O(lr))."""
+    from dgcnn_tpu.parallel.sharded_model import make_sharded_train_step
+    from dgcnn_tpu.train.steps import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = DGCNNConfig(num_classes=4, num_features=3, k=6, emb_dims=32,
+                      dropout=0.0, knn_query_chunk=None)
+    mesh = make_mesh(n_data=8 // n_sp, n_points=n_sp)
+    b, n = mesh.shape["data"] * 2, 16 * n_sp
+    x = _tie_free_points(rng, b, n)
+    labels = jnp.asarray(rng.integers(0, 4, (b, n)))
+    mask = jnp.asarray((rng.random((b, n)) < 0.7).astype(np.float32))
+
+    tx = make_optimizer(use_sgd=True, lr=1e-5, epochs=2, steps_per_epoch=1)
+    state = init_train_state(jax.random.key(0), cfg, tx)
+
+    ref_step = make_train_step(cfg, tx, donate=False)
+    ref_state, ref_m = ref_step(state, x, labels, mask)
+
+    sh_step = make_sharded_train_step(cfg, tx, mesh)
+    sh_state, sh_m = sh_step(state, x, labels, mask)
+
+    assert float(sh_m["loss"]) == pytest.approx(float(ref_m["loss"]),
+                                                rel=1e-5)
+    np.testing.assert_allclose(np.asarray(sh_m["confusion"]),
+                               np.asarray(ref_m["confusion"]), atol=0.5)
+    for name in ("params", "bn_state"):
+        a = jax.tree_util.tree_leaves(getattr(ref_state, name))
+        c = jax.tree_util.tree_leaves(getattr(sh_state, name))
+        for xa, xc in zip(a, c):
+            np.testing.assert_allclose(np.asarray(xa), np.asarray(xc),
+                                       atol=1e-5, rtol=1e-4)
+
+
+@needs8
+def test_sharded_train_step_dropout_runs(rng):
+    """With dropout on, the sharded step must still run and produce a
+    finite loss (per-shard dropout patterns differ from unsharded)."""
+    from dgcnn_tpu.parallel.sharded_model import make_sharded_train_step
+    from dgcnn_tpu.train.steps import init_train_state, make_optimizer
+
+    cfg = DGCNNConfig(num_classes=4, num_features=3, k=6, emb_dims=32,
+                      dropout=0.5, knn_query_chunk=None)
+    mesh = make_mesh(n_data=4, n_points=2)
+    x = _tie_free_points(rng, 4, 32)
+    labels = jnp.asarray(rng.integers(0, 4, (4, 32)))
+    mask = jnp.ones((4, 32), jnp.float32)
+    tx = make_optimizer()
+    state = init_train_state(jax.random.key(0), cfg, tx)
+    new_state, m = make_sharded_train_step(cfg, tx, mesh)(
+        state, x, labels, mask)
+    assert np.isfinite(float(m["loss"]))
+    assert int(new_state.step) == 1
