@@ -135,14 +135,21 @@ def predict(
         blocks[i, :, 0] -= shifts[i, 0]
         blocks[i, :, 1] -= shifts[i, 1]
 
-    all_pred = np.zeros((n_blocks, num_points), np.int32)
+    # dispatch every batch asynchronously (JAX queues device work; pulling
+    # results per-iteration would serialise host<->device), sync once at
+    # the end — the host tiling above overlaps the device queue draining
+    device_preds = []
     for start in range(0, n_blocks, batch_size):
         chunk = blocks[start : start + batch_size]
         pad = batch_size - len(chunk)
         if pad:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
         pred, _, _ = predict_step(params, bn_state, chunk[:, :, :num_features])
-        all_pred[start : start + batch_size] = np.asarray(pred)[: batch_size - pad]
+        device_preds.append((pred, batch_size - pad))
+    all_pred = np.zeros((n_blocks, num_points), np.int32)
+    for bi, (pred, nreal) in enumerate(device_preds):
+        start = bi * batch_size
+        all_pred[start : start + batch_size] = np.asarray(pred)[:nreal]
 
     merged_pts = []
     merged_pred = []

@@ -34,6 +34,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from dgcnn_tpu.ops.edgeconv import (
     edge_conv_linear,
@@ -161,12 +162,18 @@ def _knn(x: jax.Array, cfg: DGCNNConfig) -> jax.Array:
     if impl in ("pallas", "pallas_packed"):
         from dgcnn_tpu.kernels.knn_pallas import knn_pallas
 
-        return knn_pallas(x, cfg.k, packed=impl == "pallas_packed")
+        return checkpoint_name(
+            knn_pallas(x, cfg.k, packed=impl == "pallas_packed"), "pt"
+        )
     if impl == "approx":
-        return knn(x, cfg.k, query_chunk=cfg.knn_query_chunk, approx=True)
-    if impl != "xla":
+        idx = knn(x, cfg.k, query_chunk=cfg.knn_query_chunk, approx=True)
+    elif impl == "xla":
+        idx = knn(x, cfg.k, query_chunk=cfg.knn_query_chunk)
+    else:
         raise ValueError(f"unknown knn_impl {impl!r}")
-    return knn(x, cfg.k, query_chunk=cfg.knn_query_chunk)
+    # 'pt' residuals are what selective remat keeps (train/steps.py):
+    # per-point tensors + these indices; (B,N,k,.) tensors are recomputed
+    return checkpoint_name(idx, "pt")
 
 
 def _edge_stage_two_conv(
@@ -206,7 +213,7 @@ def _edge_stage_two_conv(
     e = _mm(e, params[conv_b]["w"], cd)
     e, s_b = _batch_norm(e, params[bn_b], state[bn_b], train=train)
     e = _lrelu(e)
-    out = jnp.max(e, axis=2)
+    out = checkpoint_name(jnp.max(e, axis=2), "pt")
     return out, {bn_a: s_a, bn_b: s_b}
 
 
@@ -223,7 +230,7 @@ def _edge_stage_single_conv(
     if train:
         e = edge_conv_linear(x, idx, params["conv5"]["w"], compute_dtype=cd)
         e, s5 = _batch_norm(e, params["bn5"], state["bn5"], train=True)
-        return jnp.max(_lrelu(e), axis=2), {"bn5": s5}
+        return checkpoint_name(jnp.max(_lrelu(e), axis=2), "pt"), {"bn5": s5}
     mx, mn = edge_conv_linear_extrema(
         x, idx, params["conv5"]["w"], compute_dtype=cd
     )

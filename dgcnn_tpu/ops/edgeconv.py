@@ -61,6 +61,7 @@ def edge_conv_linear(
     w: jax.Array,
     *,
     compute_dtype: jnp.dtype | None = None,
+    gather_first: bool | None = None,
 ) -> jax.Array:
     """First EdgeConv 1×1 conv without materialising edge features.
 
@@ -75,17 +76,30 @@ def edge_conv_linear(
            channel order of the reference concat (/root/reference/model.py:81).
         compute_dtype: optional dtype for the two point matmuls (e.g.
            bfloat16); accumulation stays float32.
+        gather_first: gather raw x THEN matmul (``gather(x)@W == gather(x@W)``
+           row-for-row). When C < C_out this shrinks both the gathered
+           tensor and — critically — the backward scatter-add from C_out to
+           C columns (the train-step scatter is latency-bound in row width;
+           stage 1 has C=F=4 vs C_out=64). Default: C < C_out.
 
     Returns:
         (B, N, k, C_out) pre-BN conv activations.
     """
     c = x.shape[-1]
+    c_out = w.shape[-1]
+    if gather_first is None:
+        gather_first = c < c_out
     w_d, w_x = w[:c], w[c:]
     xm = x if compute_dtype is None else x.astype(compute_dtype)
     w_dm = w_d if compute_dtype is None else w_d.astype(compute_dtype)
     w_cm = (w_x - w_d) if compute_dtype is None else (w_x - w_d).astype(compute_dtype)
-    a = jnp.einsum("bnc,cd->bnd", xm, w_dm, preferred_element_type=jnp.float32)
     b = jnp.einsum("bnc,cd->bnd", xm, w_cm, preferred_element_type=jnp.float32)
+    if gather_first:
+        nbr = gather_neighbors(xm, idx)                # (B, N, k, C)
+        a_n = jnp.einsum("bnkc,cd->bnkd", nbr, w_dm,
+                         preferred_element_type=jnp.float32)
+        return a_n + b[:, :, None, :]
+    a = jnp.einsum("bnc,cd->bnd", xm, w_dm, preferred_element_type=jnp.float32)
     return gather_neighbors(a, idx) + b[:, :, None, :]
 
 

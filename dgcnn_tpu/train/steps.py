@@ -125,7 +125,7 @@ def make_train_step(
     donate: bool = True,
     device_masks: bool = False,
     exclude_classes: tuple[int, ...] = (),
-    remat: bool = False,
+    remat: "bool | str" = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -139,10 +139,16 @@ def make_train_step(
     (:func:`dgcnn_tpu.ops.masks.balanced_train_mask`) from the state PRNG —
     no host-side mask work per batch.
 
-    ``remat=True`` rematerialises the forward in the backward pass
-    (``jax.checkpoint``): the (B, N, k, C) stage activations are recomputed
-    instead of stored, trading ~1 extra forward of FLOPs for several GB of
-    activation memory — use for large B or N.
+    ``remat`` rematerialises forward activations in the backward pass:
+
+    * ``False`` — store everything (XLA default);
+    * ``"selective"`` — keep only per-point residuals (the tensors tagged
+      ``checkpoint_name(_, "pt")`` in models/dgcnn.py: stage outputs, kNN
+      indices) and recompute the (B, N, k, C) k-expanded chains — they are
+      the memory hogs AND the HBM-traffic hogs of the stock backward, while
+      their recompute is one cheap gather + elementwise per stage. This is
+      both the fast and the low-memory setting (enables B=32 on one v5e);
+    * ``True`` — full remat (``nothing_saveable``), maximum memory savings.
     """
     from dgcnn_tpu.ops.masks import balanced_train_mask
 
@@ -150,10 +156,17 @@ def make_train_step(
         return apply_dgcnn(params, bn_state, points, cfg, train=True,
                            rng=rng)
 
-    fwd = (
-        jax.checkpoint(_fwd, policy=jax.checkpoint_policies.nothing_saveable)
-        if remat else _fwd
-    )
+    if remat == "selective":
+        fwd = jax.checkpoint(
+            _fwd,
+            policy=jax.checkpoint_policies.save_only_these_names("pt"),
+        )
+    elif remat:
+        fwd = jax.checkpoint(
+            _fwd, policy=jax.checkpoint_policies.nothing_saveable
+        )
+    else:
+        fwd = _fwd
 
     def loss_fn(params, bn_state, points, labels, mask, rng):
         logits, new_bn = fwd(params, bn_state, points, rng)

@@ -276,6 +276,229 @@ extern "C" int dtmgen_compute(const double* xyz, int64_t n, double min_x,
   return edge;
 }
 
+// ---------------------------------------------------------------------------
+// Spatial-hash neighbour kernels (ctypes API, dgcnn_tpu/prepare/{noise,dtm}).
+//
+// The reference pays a KDTree for two host-side passes: the isolated-point
+// noise filter (2-NN over the full cloud, process_data.py:115-121) and the
+// AGL k-NN ground-height mean (dtm.py:140-160). On the single-core hosts
+// this framework targets, a uniform-grid hash gives the same EXACT answers
+// in O(n) instead of O(n log n) with large constants. Both kernels sort
+// point indices by packed cell key, then probe neighbouring cells with
+// early termination.
+
+namespace {
+
+// Dense counting-sort cell index: O(1) probe per cell. Cell count is
+// bounded by the cloud's bounding box / cell size; callers keep cell sizes
+// at the problem's natural scale so ncell stays O(n) (guarded anyway).
+struct CellIndex {
+  int64_t nx = 0, ny = 0, nz = 0;
+  double ox = 0, oy = 0, oz = 0, cell = 1.0;
+  std::vector<int64_t> starts;  // ncell+1 prefix offsets into `order`
+  std::vector<int64_t> order;   // point indices grouped by cell
+
+  // cells clamp to the index box: far-outlier points collapse into edge
+  // cells. Clamping is monotone, so points within one true cell of each
+  // other stay within one clamped cell — probes only gain false
+  // candidates, never lose true ones.
+  int64_t cid(int64_t ix, int64_t iy, int64_t iz) const {
+    ix = std::max<int64_t>(0, std::min(ix, nx - 1));
+    iy = std::max<int64_t>(0, std::min(iy, ny - 1));
+    iz = std::max<int64_t>(0, std::min(iz, nz - 1));
+    return (ix * ny + iy) * nz + iz;
+  }
+  // probe: out-of-range cells are EMPTY (clamping applies to binning
+  // only — a clamped probe would re-scan an already-visited edge cell and
+  // double-count its points)
+  std::pair<int64_t, int64_t> range(int64_t ix, int64_t iy,
+                                    int64_t iz) const {
+    if (ix < 0 || iy < 0 || iz < 0 || ix >= nx || iy >= ny || iz >= nz)
+      return {0, 0};
+    int64_t c = cid(ix, iy, iz);
+    return {starts[c], starts[c + 1]};
+  }
+};
+
+// Build over n points with `stride` doubles per row, using the first
+// `dims` coordinates (z fixed to 0 for 2-D). Returns false if the grid
+// would be degenerate.
+bool BuildIndex(const double* pts, int64_t n, int stride, int dims,
+                double cell, CellIndex* out) {
+  double lo[3] = {0, 0, 0}, hi[3] = {0, 0, 0};
+  for (int d = 0; d < dims; ++d) lo[d] = hi[d] = pts[d];
+  for (int64_t i = 1; i < n; ++i)
+    for (int d = 0; d < dims; ++d) {
+      lo[d] = std::min(lo[d], pts[i * stride + d]);
+      hi[d] = std::max(hi[d], pts[i * stride + d]);
+    }
+  out->ox = lo[0];
+  out->oy = lo[1];
+  out->oz = lo[2];
+  out->cell = cell;
+  auto dim = [&](int d) {
+    return int64_t(std::floor((hi[d] - lo[d]) / cell)) + 1;
+  };
+  out->nx = dims > 0 ? dim(0) : 1;
+  out->ny = dims > 1 ? dim(1) : 1;
+  out->nz = dims > 2 ? dim(2) : 1;
+  // cap the dense table at O(n) cells by halving the largest dimension;
+  // out-of-range cells clamp to the edges (see cid())
+  const int64_t limit = std::max<int64_t>(16 * n, int64_t(1) << 20);
+  while (out->nx * out->ny * out->nz > limit) {
+    int64_t* big = &out->nx;
+    if (out->ny > *big) big = &out->ny;
+    if (out->nz > *big) big = &out->nz;
+    *big = (*big + 1) / 2;
+  }
+  int64_t ncell = out->nx * out->ny * out->nz;
+  if (ncell <= 0) return false;
+  std::vector<int64_t> cells(n);
+  std::vector<int64_t> counts(ncell + 1, 0);
+  const double o[3] = {out->ox, out->oy, out->oz};
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t ix[3] = {0, 0, 0};
+    for (int d = 0; d < dims; ++d)
+      ix[d] = int64_t(std::floor((pts[i * stride + d] - o[d]) / cell));
+    cells[i] = out->cid(ix[0], ix[1], ix[2]);
+    ++counts[cells[i] + 1];
+  }
+  for (int64_t c = 0; c < ncell; ++c) counts[c + 1] += counts[c];
+  out->starts = counts;
+  out->order.resize(n);
+  std::vector<int64_t> cursor(out->starts.begin(), out->starts.end() - 1);
+  for (int64_t i = 0; i < n; ++i) out->order[cursor[cells[i]]++] = i;
+  return true;
+}
+
+}  // namespace
+
+// keep[i] = 1 iff the nearest OTHER point is strictly closer than max_dist
+// (exact, identical to `KDTree.query(k=2).dists[:,1] < max_dist`).
+extern "C" int dtmgen_noise_mask(const double* xyz, int64_t n,
+                                 double max_dist, uint8_t* keep) {
+  if (n < 2) {
+    for (int64_t i = 0; i < n; ++i) keep[i] = 1;
+    return 0;
+  }
+  CellIndex ci;
+  if (!BuildIndex(xyz, n, 3, 3, max_dist, &ci))
+    return 1;  // caller falls back to the KDTree path
+  const double max_sq = max_dist * max_dist;
+  // probe own cell first (most points early-exit there), then the 26
+  // neighbours; iterate queries in cell order for cache locality
+  static const int kOff[27][3] = {
+      {0, 0, 0},    {0, 0, -1},  {0, 0, 1},   {0, -1, 0},  {0, 1, 0},
+      {-1, 0, 0},   {1, 0, 0},   {0, -1, -1}, {0, -1, 1},  {0, 1, -1},
+      {0, 1, 1},    {-1, 0, -1}, {-1, 0, 1},  {1, 0, -1},  {1, 0, 1},
+      {-1, -1, 0},  {-1, 1, 0},  {1, -1, 0},  {1, 1, 0},   {-1, -1, -1},
+      {-1, -1, 1},  {-1, 1, -1}, {-1, 1, 1},  {1, -1, -1}, {1, -1, 1},
+      {1, 1, -1},   {1, 1, 1}};
+  auto clamp = [](int64_t v, int64_t n_) {
+    return std::max<int64_t>(0, std::min(v, n_ - 1));
+  };
+  for (int64_t slot = 0; slot < n; ++slot) {
+    const int64_t i = ci.order[slot];
+    const double px = xyz[i * 3], py = xyz[i * 3 + 1], pz = xyz[i * 3 + 2];
+    const int64_t cx =
+        clamp(int64_t(std::floor((px - ci.ox) / ci.cell)), ci.nx);
+    const int64_t cy =
+        clamp(int64_t(std::floor((py - ci.oy) / ci.cell)), ci.ny);
+    const int64_t cz =
+        clamp(int64_t(std::floor((pz - ci.oz) / ci.cell)), ci.nz);
+    bool found = false;
+    for (int o = 0; o < 27 && !found; ++o) {
+      auto r = ci.range(cx + kOff[o][0], cy + kOff[o][1], cz + kOff[o][2]);
+      for (int64_t s = r.first; s < r.second; ++s) {
+        const int64_t j = ci.order[s];
+        if (j == i) continue;
+        const double ddx = xyz[j * 3] - px;
+        const double ddy = xyz[j * 3 + 1] - py;
+        const double ddz = xyz[j * 3 + 2] - pz;
+        if (ddx * ddx + ddy * ddy + ddz * ddz < max_sq) {
+          found = true;
+          break;
+        }
+      }
+    }
+    keep[i] = found ? 1 : 0;
+  }
+  return 0;
+}
+
+// out[q] = mean z of the k nearest (in XY) of m reference points — exact
+// k-NN via expanding square rings over a uniform grid; equidistant points
+// resolve to the lower index (ties are measure-zero off grid-degenerate
+// queries). Matches gen_agl's KDTree semantics (dtm.py:140-160).
+extern "C" int dtmgen_agl_knn(const double* ref_xy, const double* ref_z,
+                              int64_t m, const double* q_xy, int64_t nq,
+                              int k, double* out_mean) {
+  if (m <= 0 || k <= 0) return 1;
+  if (k > m) k = int(m);
+  double mnx = ref_xy[0], mny = ref_xy[1], mx = ref_xy[0], my = ref_xy[1];
+  for (int64_t i = 1; i < m; ++i) {
+    mnx = std::min(mnx, ref_xy[i * 2]);
+    mny = std::min(mny, ref_xy[i * 2 + 1]);
+    mx = std::max(mx, ref_xy[i * 2]);
+    my = std::max(my, ref_xy[i * 2 + 1]);
+  }
+  double extent = std::max(std::max(mx - mnx, my - mny), 1e-9);
+  // aim for ~2k points per cell so ring 0/1 usually already holds the kNN
+  double cell = extent / std::max(1.0, std::sqrt(double(m) / (2.0 * k)));
+  CellIndex ci;
+  if (!BuildIndex(ref_xy, m, 2, 2, cell, &ci))
+    return 1;  // caller falls back to the KDTree path
+
+  std::vector<double> best_d(k);
+  std::vector<int64_t> best_i(k);
+  const int64_t max_ring = std::max(ci.nx, ci.ny) + 1;
+  for (int64_t q = 0; q < nq; ++q) {
+    const double px = q_xy[q * 2], py = q_xy[q * 2 + 1];
+    const int64_t cx = std::max<int64_t>(
+        0, std::min(int64_t(std::floor((px - ci.ox) / ci.cell)), ci.nx - 1));
+    const int64_t cy = std::max<int64_t>(
+        0, std::min(int64_t(std::floor((py - ci.oy) / ci.cell)), ci.ny - 1));
+    int have = 0;
+    double worst = kInf;
+    for (int64_t ring = 0; ring <= max_ring; ++ring) {
+      // a point in a cell at Chebyshev ring r is >= (r-1)*cell away from
+      // anywhere in the centre cell — safe to stop once that exceeds the
+      // current kth-best
+      if (have == k &&
+          double(ring - 1) * ci.cell > std::sqrt(worst))
+        break;
+      for (int64_t dx = -ring; dx <= ring; ++dx)
+        for (int64_t dy = -ring; dy <= ring; ++dy) {
+          if (std::max(std::llabs(dx), std::llabs(dy)) != ring) continue;
+          auto r = ci.range(cx + dx, cy + dy, 0);
+          for (int64_t s = r.first; s < r.second; ++s) {
+            const int64_t j = ci.order[s];
+            const double ddx = ref_xy[j * 2] - px;
+            const double ddy = ref_xy[j * 2 + 1] - py;
+            const double d2 = ddx * ddx + ddy * ddy;
+            if (have < k) {
+              best_d[have] = d2;
+              best_i[have] = j;
+              ++have;
+              if (have == k)
+                worst = *std::max_element(best_d.begin(), best_d.end());
+            } else if (d2 < worst) {
+              int64_t w = std::max_element(best_d.begin(), best_d.end()) -
+                          best_d.begin();
+              best_d[w] = d2;
+              best_i[w] = j;
+              worst = *std::max_element(best_d.begin(), best_d.end());
+            }
+          }
+        }
+    }
+    double sum = 0.0;
+    for (int t = 0; t < have; ++t) sum += ref_z[best_i[t]];
+    out_mean[q] = have ? sum / have : 0.0;
+  }
+  return 0;
+}
+
 #ifndef DTMGEN_NO_MAIN
 int main(int argc, char** argv) {
   if (argc < 10) {

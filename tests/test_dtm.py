@@ -168,3 +168,74 @@ def test_water_fill_asymmetric_hole_native_matches_numpy():
     assert (ours != NO_DATA).all()  # water fill closed the hole
     np.testing.assert_array_equal(native == NO_DATA, ours == NO_DATA)
     np.testing.assert_allclose(native, ours, atol=1e-3)
+
+
+def test_native_noise_mask_matches_kdtree(rng):
+    """Native grid-hash noise mask must EXACTLY match the KDTree 2-NN test
+    (/root/reference/prepare_data/process_data.py:115-121), including far
+    outliers that inflate the bounding box past the dense-index cap."""
+    from scipy.spatial import cKDTree
+
+    from dgcnn_tpu.prepare.dtm import native_noise_mask
+
+    xyz = np.column_stack([rng.random(20000) * 60, rng.random(20000) * 60,
+                           rng.random(20000) * 10])
+    xyz[:20] += 2000 + np.arange(20)[:, None] * 37  # isolated far outliers
+    keep = native_noise_mask(xyz, 1.0)
+    if keep is None:
+        pytest.skip("native lib unavailable")
+    d, _ = cKDTree(xyz).query(xyz, k=2)
+    np.testing.assert_array_equal(keep, d[:, 1] < 1.0)
+    assert not keep[:20].any()
+
+
+def test_native_agl_knn_matches_kdtree(rng):
+    """Native expanding-ring k-NN mean == cKDTree mean on grid-with-holes
+    refs and on scattered refs, with in-box and far out-of-box queries
+    (/root/reference/prepare_data/dtm.py:140-160 semantics)."""
+    from scipy.spatial import cKDTree
+
+    from dgcnn_tpu.prepare.dtm import native_agl_knn
+
+    gx, gy = np.meshgrid(np.arange(40.0), np.arange(40.0), indexing="ij")
+    ref = np.column_stack([gx.ravel(), gy.ravel()])
+    ref = ref[rng.random(len(ref)) > 0.15]
+    z = 0.05 * ref[:, 0] + rng.normal(0, 0.01, len(ref))
+    q = np.vstack([
+        rng.random((5000, 2)) * 39 + rng.normal(0, 1e-4, (5000, 2)),
+        rng.random((200, 2)) * 39 + 500,          # far outside
+    ])
+    got = native_agl_knn(ref, z, q, 4)
+    if got is None:
+        pytest.skip("native lib unavailable")
+    _, idx = cKDTree(ref).query(q, k=4)
+    np.testing.assert_allclose(got, z[idx].mean(1), atol=1e-12)
+
+    scat = rng.random((3000, 2)) * 100
+    zs = rng.random(3000)
+    q2 = rng.random((4000, 2)) * 120 - 10
+    got2 = native_agl_knn(scat, zs, q2, 4)
+    _, idx2 = cKDTree(scat).query(q2, k=4)
+    np.testing.assert_allclose(got2, zs[idx2].mean(1), atol=1e-12)
+
+
+def test_filter_noise_and_gen_agl_use_native(rng):
+    """The public filter_noise / gen_agl fast paths agree with their scipy
+    fallbacks (same functions with the native lib monkeypatched away)."""
+    import dgcnn_tpu.prepare.dtm as dtm_mod
+    from dgcnn_tpu.prepare.noise import filter_noise
+
+    xyz = np.column_stack([rng.random(5000) * 30, rng.random(5000) * 30,
+                           rng.random(5000) * 5])
+    xyz[:5] += 300
+    got = filter_noise(xyz, 1.0)
+    dtm_pts = np.column_stack([rng.random(2000) * 30, rng.random(2000) * 30,
+                               rng.random(2000)])
+    agl = gen_agl(dtm_pts, xyz)
+
+    import unittest.mock as mock
+    with mock.patch.object(dtm_mod, "_native_lib", lambda: None):
+        want_keep = filter_noise(xyz, 1.0)
+        want_agl = gen_agl(dtm_pts, xyz)
+    np.testing.assert_array_equal(got, want_keep)
+    np.testing.assert_allclose(agl, want_agl, atol=1e-9)
