@@ -1,0 +1,89 @@
+"""Pallas scatter-add for the EdgeConv gather backward.
+
+The train step's dominant backward cost is the gather-VJP scatter-add
+((B, N·k, C) cotangent rows into (B, N, C)); XLA's scatter is row-latency
+bound at ~26 ms per stage (B=8, N=7000, k=30, C=64 on v5e). This kernel
+keeps the whole (N, C) accumulator resident in VMEM across input chunks of
+one batch element and applies rows with dynamic sublane stores — measured
+13.4 ms for the same shape (chunk=2048), bit-correct up to f32 accumulation
+order.
+
+Used by :func:`dgcnn_tpu.ops.edgeconv.gather_neighbors` as a custom VJP on
+the TPU backend; everywhere else the XLA scatter remains.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(idx_ref, dy_ref, out_ref):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    chunk = dy_ref.shape[1]
+
+    def body(r, _):
+        t = idx_ref[0, 0, r]
+        out_ref[0, pl.dslice(t, 1), :] += dy_ref[0, r, :][None, :]
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0, unroll=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "chunk", "interpret")
+)
+def scatter_add_rows(
+    dy: jax.Array,
+    idx: jax.Array,
+    n: int,
+    *,
+    chunk: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """out[b, idx[b, m]] += dy[b, m]  — exact up to f32 sum order.
+
+    Args:
+        dy: (B, M, C) float32 update rows.
+        idx: (B, M) int32 target rows in [0, n).
+        n: output row count.
+        chunk: rows per grid step (VMEM holds (chunk, C) dy + the full
+            (n+8, C) accumulator; 2048 measured fastest on v5e).
+
+    Returns:
+        (B, n, C) float32 sums.
+    """
+    b, m, c = dy.shape
+    nchunk = -(-m // chunk)
+    pad = nchunk * chunk - m
+    if pad:  # padded rows dump into scratch row n (sliced off below)
+        idx = jnp.concatenate([idx, jnp.full((b, pad), n, idx.dtype)], 1)
+        dy = jnp.concatenate([dy, jnp.zeros((b, pad, c), dy.dtype)], 1)
+    idx3 = idx.reshape(b * nchunk, 1, chunk).astype(jnp.int32)
+    dy3 = dy.reshape(b, nchunk * chunk, c)
+    n_out = -(-(n + 1) // 8) * 8  # row n = pad dump; rows 8-aligned
+    out = pl.pallas_call(
+        _kernel,
+        grid=(b, nchunk),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, chunk),
+                lambda bb, cc, nchunk=nchunk: (bb * nchunk + cc, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, chunk, c), lambda bb, cc: (bb, cc, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n_out, c), lambda bb, cc: (bb, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_out, c), dy.dtype),
+        interpret=interpret,
+    )(idx3, dy3)
+    return out[:, :n]

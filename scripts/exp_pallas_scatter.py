@@ -38,9 +38,7 @@ def _kernel(idx_ref, dy_ref, out_ref):
     def body(r, _):
         t = idx_ref[0, 0, r]
         row = dy_ref[0, r, :]
-        cur = pl.load(out_ref, (0, pl.dslice(t, 1), slice(None)))
-        pl.store(out_ref, (0, pl.dslice(t, 1), slice(None)),
-                 cur + row[None, :])
+        out_ref[0, pl.dslice(t, 1), :] += row[None, :]
         return 0
 
     jax.lax.fori_loop(0, chunk, body, 0, unroll=False)
@@ -49,21 +47,29 @@ def _kernel(idx_ref, dy_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("n", "chunk"))
 def scatter_add_pallas(dy, idx, n, chunk=2048):
     b, m, c = dy.shape
-    assert m % chunk == 0
-    nchunk = m // chunk
-    idx3 = idx.reshape(b, nchunk, chunk).astype(jnp.int32)
+    nchunk = (m + chunk - 1) // chunk
+    pad = nchunk * chunk - m
+    if pad:  # padded rows dump into an extra row n (sliced off below)
+        idx = jnp.concatenate(
+            [idx, jnp.full((b, pad), n, idx.dtype)], axis=1)
+        dy = jnp.concatenate(
+            [dy, jnp.zeros((b, pad, c), dy.dtype)], axis=1)
+    idx3 = idx.reshape(b * nchunk, 1, chunk).astype(jnp.int32)
     dy3 = dy.reshape(b, nchunk * chunk, c)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
         grid=(b, nchunk),
         in_specs=[
-            pl.BlockSpec((1, 1, chunk), lambda bb, cc: (bb, cc, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, chunk),
+                lambda bb, cc, nchunk=nchunk: (bb * nchunk + cc, 0, 0),
+                memory_space=pltpu.SMEM),
             pl.BlockSpec((1, chunk, c), lambda bb, cc: (bb, cc, 0)),
         ],
-        out_specs=pl.BlockSpec((1, n, c), lambda bb, cc: (bb, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, n, c), dy.dtype),
+        out_specs=pl.BlockSpec((1, n + 8, c), lambda bb, cc: (bb, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n + 8, c), dy.dtype),
     )(idx3, dy3)
+    return out[:, :n]
 
 
 def xla_scatter(dy, idx, n):

@@ -61,3 +61,39 @@ def test_edge_conv_linear_extrema(rng):
     mx, mn = edge_conv_linear_extrema(x, idx, w)
     np.testing.assert_allclose(np.asarray(mx), full.max(axis=2), atol=1e-4)
     np.testing.assert_allclose(np.asarray(mn), full.min(axis=2), atol=1e-4)
+
+
+def test_gather_custom_vjp_matches_xla_scatter(rng):
+    """gather_neighbors' custom VJP (Pallas scatter on TPU, XLA elsewhere)
+    must equal the autodiff-of-gather scatter everywhere."""
+    feats = jnp.asarray(rng.standard_normal((2, 40, 16)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 40, (2, 40, 6)), jnp.int32)
+    dy = jnp.asarray(rng.standard_normal((2, 40, 6, 16)), jnp.float32)
+
+    _, vjp = jax.vjp(lambda f: gather_neighbors(f, idx), feats)
+    got = vjp(dy)[0]
+
+    def ref_gather(f):
+        b, n, c = f.shape
+        table = f.reshape(b * n, c)
+        g = idx + (jnp.arange(b, dtype=idx.dtype) * n)[:, None, None]
+        return table[g.reshape(-1)].reshape(b, n, 6, c)
+
+    _, vjp_ref = jax.vjp(ref_gather, feats)
+    want = vjp_ref(dy)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_scatter_pallas_kernel_interpret(rng):
+    """The Pallas scatter kernel itself (interpret mode on CPU) matches the
+    XLA scatter, including the padded-chunk dump row."""
+    from dgcnn_tpu.kernels.scatter_pallas import scatter_add_rows
+
+    b, m, c, n = 2, 500, 16, 40  # m deliberately not a chunk multiple
+    dy = jnp.asarray(rng.standard_normal((b, m, c)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n, (b, m)), jnp.int32)
+    got = scatter_add_rows(dy, idx, n, chunk=128, interpret=True)
+    want = jnp.zeros((b, n, c)).at[jnp.arange(b)[:, None], idx].add(dy)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
