@@ -33,6 +33,46 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = float("-inf")
 
+# Per-generation sweep results for the query-tile size (rows of the
+# resident score tile). Swept on v5e at B=8, N=7000, k=30; other
+# generations fall back to the v5e values until swept — override with
+# env DGCNN_KNN_QUERY_TILE (both kernels) or the query_tile argument,
+# and the VMEM score-tile budget with DGCNN_KNN_VMEM_MB.
+_QUERY_TILE_TABLE: dict[str, tuple[int, int]] = {
+    # device_kind prefix -> (packed tile, f32 tile)
+    "TPU v5 lite": (384, 256),
+}
+_DEFAULT_TILES = (384, 256)
+_DEFAULT_VMEM_MB = 12
+
+
+def _device_kind() -> str:
+    try:
+        return jax.devices()[0].device_kind
+    except Exception:
+        return ""
+
+
+def _default_query_tile(packed: bool) -> int:
+    import os
+
+    env = os.environ.get("DGCNN_KNN_QUERY_TILE")
+    if env:
+        return int(env)
+    kind = _device_kind()
+    for prefix, tiles in _QUERY_TILE_TABLE.items():
+        if kind.startswith(prefix):
+            return tiles[0] if packed else tiles[1]
+    return _DEFAULT_TILES[0] if packed else _DEFAULT_TILES[1]
+
+
+def _vmem_budget_bytes() -> int:
+    import os
+
+    return int(
+        float(os.environ.get("DGCNN_KNN_VMEM_MB", _DEFAULT_VMEM_MB)) * 2**20
+    )
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -222,16 +262,15 @@ def knn_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if query_tile is None:
-        # swept at B=8, N=7000, k=30: packed (int32 tile) is fastest at 384
-        # rows; the f32 kernel at 256
-        query_tile = 384 if packed else 256
+        query_tile = _default_query_tile(packed)
     n_pad = -(-x.shape[1] // 128) * 128
     # the kernel keeps a (query_tile, N_pad) score tile in VMEM; beyond
-    # ~12k candidates it no longer fits — fall back to the chunked XLA
+    # the budget it no longer fits — fall back to the chunked XLA
     # path (the point-sharded ring kNN is the intended path for huge N)
-    while query_tile > 64 and query_tile * n_pad * 4 > 12 * 2**20:
+    vmem_budget = _vmem_budget_bytes()
+    while query_tile > 64 and query_tile * n_pad * 4 > vmem_budget:
         query_tile //= 2
-    if query_tile * n_pad * 4 > 12 * 2**20:
+    if query_tile * n_pad * 4 > vmem_budget:
         from dgcnn_tpu.ops.knn import knn as knn_xla
 
         return knn_xla(x, k, query_chunk=1024)
