@@ -86,7 +86,7 @@ def train(
     data_parallel: bool = True,
     smoothing: bool = True,
     device_masks: bool = False,
-    remat: bool = False,
+    remat: "bool | str" = False,
     patience: int | None = None,
 ) -> dict:
     """Train a DGCNN. Returns a summary dict (best balanced accuracy etc.).
@@ -298,5 +298,6 @@ def train_args(args, io: IOStream) -> dict:
         seed=args.seed,
         knn_impl=getattr(args, "knn_impl", "auto"),
         compute_dtype=getattr(args, "compute_dtype", None),
+        remat=getattr(args, "remat", False),
         patience=getattr(args, "patience", None),
     )

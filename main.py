@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "xla", "approx", "pallas",
                             "pallas_packed"])
     p.add_argument("--compute_dtype", type=str, default=None)
+    p.add_argument("--remat", type=str, default="off",
+                   choices=["off", "selective", "full"],
+                   help="forward rematerialisation in the train backward: "
+                        "'selective' recomputes k-expanded stage tensors "
+                        "(low memory, enables larger batches); 'full' is "
+                        "jax.checkpoint nothing_saveable")
 
     # preprocessing
     p.add_argument("--base_dir", type=str, default=os.path.join(BASE_DIR, AREA))
@@ -198,6 +204,8 @@ def main(argv=None):
             else:
                 predict(args.k, io, args.predict, args.predict_out, **kwargs)
         elif not args.eval:
+            args.remat = {"off": False, "full": True,
+                          "selective": "selective"}[args.remat]
             from dgcnn_tpu.train.loop import train_args
 
             train_args(args, io)

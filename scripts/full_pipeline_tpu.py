@@ -123,6 +123,65 @@ def main():
     }
     print(f"eval: {summary['eval']}", flush=True)
 
+    # ---- packed-vs-exact accuracy evidence on the TRAINED model
+    # (VERDICT r1 item 3): same checkpoint, exact Pallas kNN vs packed-key
+    # kNN — metric deltas, per-point probability drift, argmax agreement.
+    import jax
+    import jax.numpy as jnp
+
+    from dgcnn_tpu.data.dataset import FugroDataset
+    from dgcnn_tpu.eval.test import _restore
+    from dgcnn_tpu.models.dgcnn import DGCNNConfig
+    from dgcnn_tpu.train.steps import make_predict_step
+
+    impl_metrics = {}
+    for impl in ("pallas", "pallas_packed"):
+        m_i = run_test(
+            30, io, data_dir=npy_dir, num_points=7000, num_classes=3,
+            num_features=4, test_batch_size=8, emb_dims=1024,
+            min_class_confidence=0.0, model_root=os.path.join(root, "ckpt"),
+            pred_dir=os.path.join(root, f"dumps_{impl}"),
+            validation_prop=0.2, knn_impl=impl,
+        )
+        impl_metrics[impl] = {
+            "accuracy": m_i["accuracy"],
+            "balanced_accuracy": m_i["balanced_accuracy"],
+            "iou": [round(float(v), 5) for v in m_i["iou"]],
+        }
+    summary["packed_vs_exact_eval"] = impl_metrics
+    d_iou = [
+        round(a - b, 5)
+        for a, b in zip(impl_metrics["pallas_packed"]["iou"],
+                        impl_metrics["pallas"]["iou"])
+    ]
+    print(f"packed-vs-exact per-class IoU delta (trained): {d_iou}",
+          flush=True)
+
+    ds = FugroDataset("test", npy_dir, num_point=7000, seed=1,
+                      validation_prop=0.2, classes=range(3))
+    batch = next(ds.batches(8, shuffle=False, with_mask=False))
+    drift_probs = {}
+    preds_by = {}
+    for impl in ("pallas", "pallas_packed"):
+        cfg_i = DGCNNConfig(num_classes=3, num_features=4, k=30,
+                            emb_dims=1024, knn_impl=impl)
+        params, bn = _restore(cfg_i, os.path.join(root, "ckpt"),
+                              "dgcnn_model", io)
+        pred, probs, _ = make_predict_step(
+            cfg_i, min_class_confidence=0.0)(params, bn, batch.points)
+        drift_probs[impl] = np.asarray(probs)
+        preds_by[impl] = np.asarray(pred)
+    drift = np.abs(drift_probs["pallas_packed"] - drift_probs["pallas"])
+    agree = (preds_by["pallas_packed"] == preds_by["pallas"]).mean()
+    summary["packed_vs_exact_pointwise"] = {
+        "max_prob_drift": float(drift.max()),
+        "mean_prob_drift": float(drift.mean()),
+        "argmax_agreement": float(agree),
+    }
+    print(f"packed-vs-exact (trained, 56k pts): max prob drift "
+          f"{drift.max():.2e}, mean {drift.mean():.2e}, argmax agreement "
+          f"{agree*100:.4f}%", flush=True)
+
     t0 = time.time()
     data, preds = predict(
         30, io, os.path.join(raw, "tile.las"),
