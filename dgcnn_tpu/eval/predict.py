@@ -43,6 +43,7 @@ def predict(
     batch_size: int = 8,
     knn_impl: str = "auto",
     compute_dtype: str | None = None,
+    matmul_precision: str | None = None,
     save_block_las: bool = False,
     features: dict[str, int] | None = None,
     features_output: list[str] | None = None,
@@ -66,7 +67,7 @@ def predict(
     cfg = DGCNNConfig(
         num_classes=num_classes, num_features=num_features, k=k,
         dropout=dropout, emb_dims=emb_dims, knn_impl=knn_impl,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, matmul_precision=matmul_precision,
     )
     params, bn_state = _restore(cfg, model_root, model_label, io)
     predict_step = make_predict_step(

@@ -81,6 +81,7 @@ def test(
     seed: int = 1,
     knn_impl: str = "auto",
     compute_dtype: str | None = None,
+    matmul_precision: str | None = None,
     dump_logits: bool = False,
     validation_prop: float = 0.2,
 ) -> dict:
@@ -90,7 +91,7 @@ def test(
     cfg = DGCNNConfig(
         num_classes=num_classes, num_features=num_features, k=k,
         dropout=dropout, emb_dims=emb_dims, knn_impl=knn_impl,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, matmul_precision=matmul_precision,
     )
     dataset = FugroDataset(
         "test", data_dir, num_point=num_points,
@@ -250,6 +251,7 @@ def test_args(args, io: IOStream) -> dict:
             seed=args.seed,
             knn_impl=getattr(args, "knn_impl", "auto"),
             compute_dtype=getattr(args, "compute_dtype", None),
+            matmul_precision=getattr(args, "matmul_precision", None),
             validation_prop=args.validation_prop,
         )
     return test(
@@ -271,5 +273,6 @@ def test_args(args, io: IOStream) -> dict:
         seed=args.seed,
         knn_impl=getattr(args, "knn_impl", "auto"),
         compute_dtype=getattr(args, "compute_dtype", None),
+        matmul_precision=getattr(args, "matmul_precision", None),
         validation_prop=args.validation_prop,
     )

@@ -69,6 +69,11 @@ class DGCNNConfig:
     compute_dtype: str | None = None     # e.g. "bfloat16" for matmul inputs
     knn_impl: str = "xla"          # "xla"|"approx"|"pallas"|"pallas_packed"
     fuse_epilogue: bool = False    # fused eval EdgeConv epilogue kernel
+    # XLA dot precision for every conv/matmul: None = backend default
+    # (fast; ~1.5e-3 max prob drift vs the f32 CPU reference on v5e),
+    # "highest" = full-f32 MXU passes (measured 1.0e-4 max drift, 100%
+    # argmax agreement, ~24% slower forward) — the TPU parity mode.
+    matmul_precision: str | None = None
 
     @property
     def _cdtype(self):
@@ -240,6 +245,25 @@ def _edge_stage_single_conv(
 
 
 def apply_dgcnn(
+    params: Params,
+    state: BNState,
+    x: jax.Array,
+    cfg: DGCNNConfig,
+    *,
+    train: bool = False,
+    rng: jax.Array | None = None,
+    depth: int = 10,
+    with_logits: bool = False,
+) -> tuple[jax.Array, BNState] | tuple[tuple[jax.Array, jax.Array], BNState]:
+    if cfg.matmul_precision is not None:
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return _apply_dgcnn(params, state, x, cfg, train=train, rng=rng,
+                                depth=depth, with_logits=with_logits)
+    return _apply_dgcnn(params, state, x, cfg, train=train, rng=rng,
+                        depth=depth, with_logits=with_logits)
+
+
+def _apply_dgcnn(
     params: Params,
     state: BNState,
     x: jax.Array,

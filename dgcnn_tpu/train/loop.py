@@ -83,6 +83,7 @@ def train(
     seed: int = 1,
     knn_impl: str = "auto",
     compute_dtype: str | None = None,
+    matmul_precision: str | None = None,
     data_parallel: bool = True,
     smoothing: bool = True,
     device_masks: bool = False,
@@ -103,6 +104,7 @@ def train(
         emb_dims=emb_dims,
         knn_impl=knn_impl,
         compute_dtype=compute_dtype,
+        matmul_precision=matmul_precision,
     )
     train_data = FugroDataset(
         "train", data_dir, num_point=num_points,
@@ -298,6 +300,7 @@ def train_args(args, io: IOStream) -> dict:
         seed=args.seed,
         knn_impl=getattr(args, "knn_impl", "auto"),
         compute_dtype=getattr(args, "compute_dtype", None),
+        matmul_precision=getattr(args, "matmul_precision", None),
         remat=getattr(args, "remat", False),
         patience=getattr(args, "patience", None),
     )

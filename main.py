@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "xla", "approx", "pallas",
                             "pallas_packed"])
     p.add_argument("--compute_dtype", type=str, default=None)
+    p.add_argument("--matmul_precision", type=str, default=None,
+                   choices=[None, "default", "high", "highest"],
+                   help="XLA matmul precision; 'highest' is the TPU "
+                        "parity mode (~1e-4 prob drift vs f32 reference)")
     p.add_argument("--remat", type=str, default="off",
                    choices=["off", "selective", "full"],
                    help="forward rematerialisation in the train backward: "
@@ -187,6 +191,7 @@ def main(argv=None):
                 min_class_confidence=args.min_class_confidence,
                 model_label=args.model_label, model_root=args.model_root,
                 knn_impl=args.knn_impl, compute_dtype=args.compute_dtype,
+                matmul_precision=args.matmul_precision,
                 classify_all=args.classify_all,
             )
             if os.path.isdir(args.predict):
