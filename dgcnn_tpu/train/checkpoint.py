@@ -88,6 +88,18 @@ def load_checkpoint(path: str, like: Any) -> tuple[Any, dict[str, float]]:
     return jax.tree_util.tree_unflatten(treedef, leaves), manifest["metadata"]
 
 
+def save_checkpoint_auto(path: str, state: Any, **metadata: float) -> None:
+    """Dispatch save: the single-file .npz on one process, the sharded
+    directory layout whenever more than one process holds the state (each
+    host persists only its local shards — required correctness for
+    multi-host training, SURVEY.md §5). ``try_resume``/``load`` dispatch on
+    the resulting layout automatically."""
+    if jax.process_count() > 1:
+        save_checkpoint_sharded(path, state, **metadata)
+    else:
+        save_checkpoint(path, state, **metadata)
+
+
 def try_resume(path: str, like: Any):
     """Opportunistic resume (reference try/except semantics,
     /root/reference/train.py:127-138): returns (state, metadata) or None.

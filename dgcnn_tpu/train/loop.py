@@ -32,7 +32,7 @@ from dgcnn_tpu.ops.metrics import (
     balanced_accuracy_from_confusion,
     iou_from_confusion,
 )
-from dgcnn_tpu.train.checkpoint import save_checkpoint, try_resume
+from dgcnn_tpu.train.checkpoint import save_checkpoint_auto, try_resume
 from dgcnn_tpu.train.steps import (
     init_train_state,
     make_eval_step,
@@ -248,7 +248,8 @@ def train(
             best_bacc = val_bacc
             epochs_since_best = 0
             io.cprint(f"Saving the best model at {ckpt_path}")
-            save_checkpoint(ckpt_path, state, epoch=epoch, mBPCA=best_bacc)
+            save_checkpoint_auto(ckpt_path, state, epoch=epoch,
+                                 mBPCA=best_bacc)
         else:
             epochs_since_best += 1
         summary = {

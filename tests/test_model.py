@@ -158,3 +158,16 @@ def test_with_logits_single_pass_taps(model_and_input):
         want, _ = apply_dgcnn(params, state, x, CFG, depth=depth)
         np.testing.assert_array_equal(np.asarray(tap), np.asarray(want))
         np.testing.assert_array_equal(np.asarray(logits), np.asarray(full))
+
+
+def test_matmul_precision_knob(model_and_input):
+    """matmul_precision='highest' runs and stays numerically close to the
+    default (identical on CPU where f32 is already full precision)."""
+    import dataclasses
+
+    params, state, x = model_and_input
+    cfg_h = dataclasses.replace(CFG, matmul_precision="highest")
+    got, _ = apply_dgcnn(params, state, x, cfg_h)
+    want, _ = apply_dgcnn(params, state, x, CFG)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
