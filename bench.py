@@ -270,7 +270,8 @@ def main():
     value = results["pallas-packed"]["points_per_sec"]
     out = {
         "metric": (f"points_per_sec_chip_infer_N{N}_k{K} "
-                   "(packed kNN, ~99.5% recall; extras: f32-exact)"),
+                   "(packed kNN — trained-model IoU delta <=3e-4 vs exact, "
+                   "BASELINE.md; extras: f32-exact)"),
         "value": round(value, 1),
         "unit": "points/s",
         "vs_baseline": round(value / baseline, 2) if baseline else None,
