@@ -202,6 +202,12 @@ def save_checkpoint_sharded(path: str, state: Any, **metadata: float) -> None:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(path, "manifest.json"))
+    if n_proc > 1:
+        # no process may return (and e.g. try to restore) before the
+        # manifest exists — save() returning means the checkpoint is whole
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("dgcnn_ckpt_manifest_written")
 
 
 def load_checkpoint_sharded(path: str, like: Any) -> tuple[Any, dict]:
