@@ -158,12 +158,17 @@ def _mm(x: jax.Array, w: jax.Array, cdtype) -> jax.Array:
     return jnp.einsum("...c,cd->...d", x, w, preferred_element_type=jnp.float32)
 
 
-def _knn(x: jax.Array, cfg: DGCNNConfig) -> jax.Array:
+def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False) -> jax.Array:
     impl = cfg.knn_impl
     if impl == "auto":
-        # fused Pallas kernel on TPU; chunked XLA top_k elsewhere (the
-        # kernel would only run interpreted off-TPU)
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # TPU: fused Pallas kernel for inference; approx_max_k for training
+        # (the production setting — 3x cheaper per kNN, soak-validated to
+        # the same converged accuracy, BASELINE.md). Chunked XLA top_k
+        # elsewhere (the kernel would only run interpreted off-TPU).
+        if jax.default_backend() == "tpu":
+            impl = "approx" if train else "pallas"
+        else:
+            impl = "xla"
     if impl in ("pallas", "pallas_packed"):
         from dgcnn_tpu.kernels.knn_pallas import knn_pallas
 
@@ -190,7 +195,7 @@ def _edge_stage_two_conv(
     Pallas kernel (kernels/edgeconv_pallas.py)."""
     conv_a, bn_a, conv_b, bn_b = names
     cd = cfg._cdtype
-    idx = _knn(x, cfg)
+    idx = _knn(x, cfg, train=train)
     if not train and cfg.fuse_epilogue:
         from dgcnn_tpu.kernels.edgeconv_pallas import (
             edgeconv_epilogue,
@@ -231,7 +236,7 @@ def _edge_stage_single_conv(
     Training materialises the (B,N,k,64) activations since BN batch stats
     range over the k axis."""
     cd = cfg._cdtype
-    idx = _knn(x, cfg)
+    idx = _knn(x, cfg, train=train)
     if train:
         e = edge_conv_linear(x, idx, params["conv5"]["w"], compute_dtype=cd)
         e, s5 = _batch_norm(e, params["bn5"], state["bn5"], train=True)
