@@ -136,21 +136,31 @@ def predict(
         blocks[i, :, 0] -= shifts[i, 0]
         blocks[i, :, 1] -= shifts[i, 1]
 
-    # dispatch every batch asynchronously (JAX queues device work; pulling
-    # results per-iteration would serialise host<->device), sync once at
-    # the end — the host tiling above overlaps the device queue draining
-    device_preds = []
-    for start in range(0, n_blocks, batch_size):
+    # dispatch batches asynchronously (JAX queues device work; pulling each
+    # result immediately would serialise host<->device) but bound the
+    # in-flight window: without a periodic sync, every batch's input buffer
+    # stays resident on the device until the queue drains — unbounded
+    # growth on very large tiles
+    window = 8
+    all_pred = np.zeros((n_blocks, num_points), np.int32)
+    in_flight: list[tuple[int, object, int]] = []
+
+    def _drain_one():
+        bi, pred, nreal = in_flight.pop(0)
+        start = bi * batch_size
+        all_pred[start : start + batch_size] = np.asarray(pred)[:nreal]
+
+    for bi, start in enumerate(range(0, n_blocks, batch_size)):
         chunk = blocks[start : start + batch_size]
         pad = batch_size - len(chunk)
         if pad:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
         pred, _, _ = predict_step(params, bn_state, chunk[:, :, :num_features])
-        device_preds.append((pred, batch_size - pad))
-    all_pred = np.zeros((n_blocks, num_points), np.int32)
-    for bi, (pred, nreal) in enumerate(device_preds):
-        start = bi * batch_size
-        all_pred[start : start + batch_size] = np.asarray(pred)[:nreal]
+        in_flight.append((bi, pred, batch_size - pad))
+        if len(in_flight) > window:
+            _drain_one()
+    while in_flight:
+        _drain_one()
 
     merged_pts = []
     merged_pred = []

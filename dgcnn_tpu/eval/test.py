@@ -197,10 +197,15 @@ def test_all(
     does, without holding them in memory.
     """
     if not isinstance(data_dirs, dict):
-        data_dirs = {
-            os.path.basename(os.path.normpath(d)) or str(i): d
-            for i, d in enumerate(data_dirs)
-        }
+        named = {}
+        for i, d in enumerate(data_dirs):
+            name = os.path.basename(os.path.normpath(d)) or str(i)
+            if name in named:  # e.g. .../Area_1/npy and .../Area_2/npy
+                name = os.path.normpath(d).replace(os.sep, "_").lstrip("_")
+            named[name] = d
+        data_dirs = named
+        if len(data_dirs) != len(list(dict.fromkeys(data_dirs.values()))):
+            raise ValueError(f"duplicate data dirs in {list(data_dirs)}")
     kwargs.pop("test_area", None)
     cm_sum = None
     per_area = {}

@@ -306,6 +306,8 @@ def _apply_dgcnn(
         raise ValueError(
             f"expected (B, N, {cfg.num_features}) input, got {x.shape}"
         )
+    if not 1 <= depth <= 10:
+        raise ValueError(f"depth must be in 1..10, got {depth}")
     cd = cfg._cdtype
     new_state = dict(state)
 

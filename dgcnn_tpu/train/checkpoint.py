@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 from typing import Any
 
 import jax
@@ -46,6 +47,12 @@ def save_checkpoint(path: str, state: Any, **metadata: float) -> None:
     """Save a pytree ``state`` (+ scalar metadata) to ``path`` (.npz).
     Typed PRNG-key leaves are stored as their raw key data."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if os.path.isdir(path):
+        # overwrite semantics across layouts: a previous multi-process run
+        # left a sharded DIRECTORY here; os.replace(file, dir) would fail
+        import shutil
+
+        shutil.rmtree(path)
     leaves = _flatten_with_names(state)
     arrays = {f"leaf_{i}": arr for i, (_, arr, _) in enumerate(leaves)}
     manifest = {
@@ -155,6 +162,19 @@ def save_checkpoint_sharded(path: str, state: Any, **metadata: float) -> None:
     """
     pid, n_proc = jax.process_index(), jax.process_count()
     os.makedirs(path, exist_ok=True)
+    # save nonce: every shard file and the manifest carry it, so a restore
+    # can reject stale shards_p*.npz left behind by an earlier save with a
+    # different process count or a crashed re-save (mixed-epoch state must
+    # never load silently). All processes must agree on it — derive it from
+    # process 0's clock via broadcast when distributed.
+    nonce = np.int64(time.time_ns())
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+
+        nonce = np.int64(
+            np.asarray(multihost_utils.broadcast_one_to_all(nonce))
+        )
+    nonce = int(nonce)
     flat, _ = jax.tree_util.tree_flatten_with_path(state)
     leaves_meta = []
     arrays: dict[str, np.ndarray] = {}
@@ -185,7 +205,8 @@ def save_checkpoint_sharded(path: str, state: Any, **metadata: float) -> None:
 
     tmp = os.path.join(path, f".shards_p{pid}.npz.tmp")
     with open(tmp, "wb") as f:
-        np.savez(f, __index__=json.dumps(index), **arrays)
+        np.savez(f, __index__=json.dumps({"nonce": nonce, "shards": index}),
+                 **arrays)
     os.replace(tmp, os.path.join(path, f"shards_p{pid}.npz"))
 
     if n_proc > 1:  # every shard file must exist before the manifest
@@ -196,6 +217,7 @@ def save_checkpoint_sharded(path: str, state: Any, **metadata: float) -> None:
         manifest = {
             "leaves": leaves_meta,
             "n_processes": n_proc,
+            "nonce": nonce,
             "metadata": {k: float(v) for k, v in metadata.items()},
         }
         tmp = os.path.join(path, ".manifest.json.tmp")
@@ -235,12 +257,22 @@ def load_checkpoint_sharded(path: str, like: Any) -> tuple[Any, dict]:
             f"checkpoint has {len(manifest['leaves'])} leaves, "
             f"expected {len(flat)}"
         )
-    # collect (spans, data) per leaf from every shard file present
+    # collect (spans, data) per leaf from shard files carrying THIS save's
+    # nonce — stale files from an earlier save (different process count, or
+    # a crashed re-save) are rejected, and the coverage check below then
+    # refuses the incomplete checkpoint instead of silently mixing epochs
+    want_nonce = manifest.get("nonce")
     per_leaf: dict[int, list] = {}
     for fp in sorted(_glob.glob(os.path.join(path, "shards_p*.npz"))):
         with np.load(fp, allow_pickle=False) as z:
             idx = json.loads(str(z["__index__"]))
-            for entry in idx:
+            if isinstance(idx, dict):  # nonce-carrying format
+                if want_nonce is not None and idx.get("nonce") != want_nonce:
+                    continue
+                entries = idx["shards"]
+            else:  # legacy format (no nonce)
+                entries = idx
+            for entry in entries:
                 per_leaf.setdefault(entry["leaf"], []).append(
                     (entry["index"], z[entry["key"]])
                 )
@@ -274,6 +306,47 @@ def load_checkpoint_sharded(path: str, like: Any) -> tuple[Any, dict]:
             manifest["metadata"])
 
 
+def _read_sharded_arrays(path: str) -> dict[str, np.ndarray]:
+    """Reassemble every leaf of a sharded checkpoint directory into host
+    numpy arrays keyed by recorded leaf name (nonce-validated, coverage-
+    checked) — the directory counterpart of reading all leaf_{i} arrays."""
+    import glob as _glob
+
+    man_path = os.path.join(path, "manifest.json")
+    if not os.path.exists(man_path):
+        raise FileNotFoundError(man_path)
+    with open(man_path) as f:
+        manifest = json.load(f)
+    want_nonce = manifest.get("nonce")
+    per_leaf: dict[int, list] = {}
+    for fp in sorted(_glob.glob(os.path.join(path, "shards_p*.npz"))):
+        with np.load(fp, allow_pickle=False) as z:
+            idx = json.loads(str(z["__index__"]))
+            if isinstance(idx, dict):
+                if want_nonce is not None and idx.get("nonce") != want_nonce:
+                    continue
+                entries = idx["shards"]
+            else:
+                entries = idx
+            for entry in entries:
+                per_leaf.setdefault(entry["leaf"], []).append(
+                    (entry["index"], z[entry["key"]])
+                )
+    out = {}
+    for i, meta in enumerate(manifest["leaves"]):
+        shape = tuple(meta["shape"])
+        full = np.zeros(shape, dtype=np.dtype(meta["dtype"]))
+        covered = np.zeros(shape, dtype=bool)
+        for spans, data in per_leaf.get(i, ()):
+            sl = _json_to_slices(spans)
+            full[sl] = data
+            covered[sl] = True
+        if not covered.all():
+            raise ValueError(f"leaf {meta['name']}: missing shards")
+        out[meta["name"]] = full
+    return out
+
+
 def load_named_subtrees(path: str, subtrees: dict[str, Any]) -> dict[str, Any]:
     """Restore selected top-level TrainState fields by leaf name.
 
@@ -281,12 +354,17 @@ def load_named_subtrees(path: str, subtrees: dict[str, Any]) -> dict[str, Any]:
     a template pytree; leaves are matched by their recorded name prefix, so
     the optimizer state (whose structure depends on the training-time
     optimizer) need not be reconstructible — eval/predict only need model
-    weights and BN statistics.
+    weights and BN statistics. Accepts both the single-file .npz and the
+    sharded directory layout (multi-process-trained models evaluate and
+    predict like any other).
     """
-    with np.load(path, allow_pickle=False) as z:
-        manifest = json.loads(str(z["__manifest__"]))
-        arrays = {n: z[f"leaf_{i}"]
-                  for i, n in enumerate(manifest["names"])}
+    if os.path.isdir(path):
+        arrays = _read_sharded_arrays(path)
+    else:
+        with np.load(path, allow_pickle=False) as z:
+            manifest = json.loads(str(z["__manifest__"]))
+            arrays = {n: z[f"leaf_{i}"]
+                      for i, n in enumerate(manifest["names"])}
 
     def norm(name: str) -> str:
         return name.lstrip(".")

@@ -152,6 +152,16 @@ def make_train_step(
     """
     from dgcnn_tpu.ops.masks import balanced_train_mask
 
+    if isinstance(remat, str):  # accept the CLI strings programmatically
+        try:
+            remat = {"off": False, "full": True,
+                     "selective": "selective"}[remat]
+        except KeyError:
+            raise ValueError(
+                f"remat must be bool, 'off', 'selective' or 'full'; "
+                f"got {remat!r}"
+            ) from None
+
     def _fwd(params, bn_state, points, rng):
         return apply_dgcnn(params, bn_state, points, cfg, train=True,
                            rng=rng)

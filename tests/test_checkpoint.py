@@ -147,13 +147,15 @@ def test_sharded_checkpoint_two_process_layout(tmp_path):
     # split the single writer's file into two "process" files
     src = os.path.join(path, "shards_p0.npz")
     with np.load(src, allow_pickle=False) as z:
-        index = json.loads(str(z["__index__"]))
+        wrapper = json.loads(str(z["__index__"]))
+        index = wrapper["shards"]
         arrays = {e["key"]: z[e["key"]] for e in index}
     half = len(index) // 2
     for pid, part in ((0, index[:half]), (1, index[half:])):
         np.savez(
             os.path.join(path, f"shards_p{pid}.npz"),
-            __index__=json.dumps(part),
+            __index__=json.dumps({"nonce": wrapper["nonce"],
+                                  "shards": part}),
             **{e["key"]: arrays[e["key"]] for e in part},
         )
 
@@ -187,10 +189,45 @@ def test_sharded_checkpoint_missing_shards_resume_fresh(tmp_path):
     save_checkpoint_sharded(path, state, epoch=1)
     src = os.path.join(path, "shards_p0.npz")
     with np.load(src, allow_pickle=False) as z:
-        index = json.loads(str(z["__index__"]))
-        keep = index[: len(index) // 2]           # drop half the shards
+        wrapper = json.loads(str(z["__index__"]))
+        keep = wrapper["shards"][: len(wrapper["shards"]) // 2]
         new = os.path.join(os.path.dirname(src), "partial.npz")
-        np.savez(new, __index__=json.dumps(keep),
+        np.savez(new, __index__=json.dumps({"nonce": wrapper["nonce"],
+                                            "shards": keep}),
                  **{e["key"]: z[e["key"]] for e in keep})
     os.replace(new, src)
     assert try_resume(path, state) is None
+
+
+def test_sharded_checkpoint_rejects_stale_shards(tmp_path):
+    """A re-save with fewer processes leaves stale shards_p*.npz from the
+    old save; the loader must reject them (nonce mismatch) instead of
+    silently mixing epochs — here the stale file would otherwise FULLY
+    satisfy coverage with old data."""
+    import json
+
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from dgcnn_tpu.parallel.mesh import make_mesh
+    from dgcnn_tpu.train.checkpoint import (
+        load_checkpoint_sharded,
+        save_checkpoint_sharded,
+    )
+
+    mesh = make_mesh(n_data=4, n_points=2)
+    state = _sharded_state(mesh)
+    path = str(tmp_path / "ckpt_stale")
+    save_checkpoint_sharded(path, state, epoch=1)
+    # simulate the old save's file surviving under another process id
+    os.rename(os.path.join(path, "shards_p0.npz"),
+              os.path.join(path, "shards_p7.npz"))
+    import dataclasses
+
+    state2 = dataclasses.replace(
+        state, step=state.step + 41)  # new save: different content
+    save_checkpoint_sharded(path, state2, epoch=2)
+    got, meta = load_checkpoint_sharded(path, state2)
+    assert meta["epoch"] == 2.0
+    assert int(got.step) == int(state2.step)  # not the stale epoch-1 value

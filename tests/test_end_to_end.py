@@ -360,3 +360,27 @@ def test_whole_cloud_predict_classify_all(trained, scene_las, workdir):
     # window semantics, pointcloud_util.py:168-170)
     n_dup = len(data) - len(np.unique(data[:, :2], axis=0))
     assert n_dup < 0.001 * len(data), n_dup
+
+
+def test_multi_area_basename_collision(trained, processed, workdir):
+    """List-form test_all with colliding basenames (.../A/npy, .../B/npy)
+    must keep both areas, not silently drop one."""
+    import shutil
+
+    from dgcnn_tpu.eval.test import test_all
+
+    _, npy_dir = processed
+    model_root, _ = trained
+    a = workdir / "areaA" / "npy"
+    b = workdir / "areaB" / "npy"
+    shutil.copytree(npy_dir, a)
+    shutil.copytree(npy_dir, b)
+    io = IOStream(str(workdir / "coll.log"))
+    agg = test_all(
+        K, io, [str(a), str(b)],
+        num_points=NUM_POINTS, num_classes=NUM_CLASSES, num_features=4,
+        test_batch_size=2, emb_dims=EMB, min_class_confidence=0.0,
+        model_root=str(model_root), pred_dir=str(workdir / "coll_dumps"),
+        validation_prop=0.25, seed=1,
+    )
+    assert len(agg["areas"]) == 2

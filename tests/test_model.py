@@ -171,3 +171,11 @@ def test_matmul_precision_knob(model_and_input):
     want, _ = apply_dgcnn(params, state, x, CFG)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_bad_depth_rejected(model_and_input):
+    params, state, x = model_and_input
+    with pytest.raises(ValueError, match="depth"):
+        apply_dgcnn(params, state, x, CFG, depth=0, with_logits=True)
+    with pytest.raises(ValueError, match="depth"):
+        apply_dgcnn(params, state, x, CFG, depth=11)

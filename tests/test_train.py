@@ -195,3 +195,16 @@ def test_graft_entry_compiles_tiny():
         lambda p, s, x: apply_dgcnn(p, s, x, cfg, train=False)[0]
     )(params, state, x)
     assert out.shape == (2, 40, 5)
+
+
+def test_remat_string_values():
+    """make_train_step accepts the CLI strings; 'off' must mean NO remat
+    (a truthy string must not silently enable full remat) and junk must
+    raise."""
+    from dgcnn_tpu.train.steps import make_train_step
+
+    tx = make_optimizer()
+    for val in ("off", "selective", "full", False, True):
+        make_train_step(CFG, tx, remat=val)  # builds without error
+    with pytest.raises(ValueError, match="remat"):
+        make_train_step(CFG, tx, remat="sometimes")
