@@ -70,3 +70,29 @@ def test_pallas_query_tile_invariance(rng):
     a = np.asarray(knn_pallas(x, 9, query_tile=64, interpret=True))
     b = np.asarray(knn_pallas(x, 9, query_tile=192, interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_packed_adversarial_score_spread(rng):
+    """Regression for the wrapped-subtract extraction (CLAUDE.md): mixed-sign
+    scores with extreme magnitude spread in one row must not corrupt the
+    packed selection — a wrapped-subtract on full 31-bit keys (no >>1)
+    silently broke exactly this case. Packed ranks at 18-bit key precision,
+    so we assert high top-k set recall against the exact path, plus exact
+    agreement of the f32 kernel with lax.top_k on the same data."""
+    b, n, k = 2, 256, 10
+    # clusters at wildly different scales + signs: distances span ~1e-6..1e8
+    base = rng.standard_normal((b, n, 3)).astype(np.float32)
+    scale = 10.0 ** rng.integers(-3, 4, (b, n, 1))
+    x = jnp.asarray(base * scale)
+
+    want = knn(x, k, query_chunk=None)
+    exact = knn_pallas(x, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(want))
+
+    packed = np.asarray(knn_pallas(x, k, packed=True, interpret=True))
+    w = np.asarray(want)
+    recall = np.mean([
+        len(set(packed[bi, i]) & set(w[bi, i])) / k
+        for bi in range(b) for i in range(n)
+    ])
+    assert recall > 0.9, recall
