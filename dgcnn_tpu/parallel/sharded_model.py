@@ -140,17 +140,20 @@ def _forward_local(params, state, x, cfg: DGCNNConfig):
 def _batch_norm_train_sharded(x, p, s):
     """Training BatchNorm with batch statistics psum'd over the full mesh.
 
-    Matches the torch semantics of models.dgcnn._batch_norm (two-pass
-    mean/var, biased var for normalisation, unbiased for the running
-    update) computed over the GLOBAL batch — identical to what XLA's
-    auto-sharded jit computes for the data-parallel path."""
+    Matches the semantics of models.dgcnn._batch_norm one-pass mode
+    (var = E[x**2] - E[x]**2, biased var for normalisation, unbiased for
+    the running update) computed over the GLOBAL batch. One-pass here also
+    halves the collectives: sum(x) and sum(x**2) ride a single psum."""
     axes = tuple(range(x.ndim - 1))
     n_repl = 1
     for a in _BOTH:
         n_repl *= jax.lax.axis_size(a)
     count = (x.size // x.shape[-1]) * n_repl
-    mean = jax.lax.psum(jnp.sum(x, axis=axes), _BOTH) / count
-    var = jax.lax.psum(jnp.sum(jnp.square(x - mean), axis=axes), _BOTH) / count
+    sums = jax.lax.psum(
+        jnp.stack([jnp.sum(x, axis=axes),
+                   jnp.sum(jnp.square(x), axis=axes)]), _BOTH)
+    mean = sums[0] / count
+    var = jnp.maximum(sums[1] / count - jnp.square(mean), 0.0)
     unbiased = var * (count / max(count - 1, 1))
     new_s = {
         "mean": (1 - _BN_MOMENTUM) * s["mean"] + _BN_MOMENTUM * mean,

@@ -179,3 +179,34 @@ def test_bad_depth_rejected(model_and_input):
         apply_dgcnn(params, state, x, CFG, depth=0, with_logits=True)
     with pytest.raises(ValueError, match="depth"):
         apply_dgcnn(params, state, x, CFG, depth=11)
+
+
+def test_bn_stats_one_pass_matches_two_pass(model_and_input):
+    """bn_stats="one_pass" (default, E[x^2]-E[x]^2 fused reduction) must
+    agree with the literal torch two-pass order to float-noise levels in
+    both the training forward and the updated running statistics."""
+    params, state, x = model_and_input
+    import dataclasses
+
+    cfg2 = dataclasses.replace(CFG, bn_stats="two_pass")
+    rng = jax.random.key(7)
+    l1, s1 = apply_dgcnn(params, state, x, CFG, train=True, rng=rng)
+    l2, s2 = apply_dgcnn(params, state, x, cfg2, train=True, rng=rng)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=0, atol=5e-4)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+
+
+def test_bn_one_pass_var_nonnegative():
+    """Constant channels: E[x^2]-E[x]^2 can go slightly negative in floats;
+    the clamp must keep rsqrt(var+eps) finite."""
+    from dgcnn_tpu.models.dgcnn import _batch_norm
+
+    x = jnp.full((4, 16, 3), 1234.567, jnp.float32)
+    p = {"gamma": jnp.ones(3), "beta": jnp.zeros(3)}
+    s = {"mean": jnp.zeros(3), "var": jnp.ones(3)}
+    y, new_s = _batch_norm(x, p, s, train=True, one_pass=True)
+    assert np.all(np.isfinite(np.asarray(y)))
+    assert np.all(np.asarray(new_s["var"]) >= 0)
