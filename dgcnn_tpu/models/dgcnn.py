@@ -186,11 +186,16 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False) -> jax.Array:
             impl = "approx" if train else "pallas"
         else:
             impl = "xla"
-    if impl in ("pallas", "pallas_packed"):
+    if impl in ("pallas", "pallas_packed", "pallas_capped"):
         from dgcnn_tpu.kernels.knn_pallas import knn_pallas
 
         return checkpoint_name(
-            knn_pallas(x, cfg.k, packed=impl == "pallas_packed"), "pt"
+            knn_pallas(
+                x, cfg.k,
+                packed=impl in ("pallas_packed", "pallas_capped"),
+                cap=8 if impl == "pallas_capped" else 0,
+            ),
+            "pt",
         )
     if impl == "approx":
         idx = knn(x, cfg.k, query_chunk=cfg.knn_query_chunk, approx=True)

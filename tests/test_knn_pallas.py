@@ -96,3 +96,61 @@ def test_packed_adversarial_score_spread(rng):
         for bi in range(b) for i in range(n)
     ])
     assert recall > 0.9, recall
+
+
+def test_capped_matches_packed_when_no_overflow(rng):
+    """Hierarchical capped kernel == flat packed kernel (same keys, same
+    tie order) whenever no window holds more than ``cap`` of a row's
+    top-k. With cap >= k every window trivially satisfies that, so the
+    outputs must be bit-identical — including on spatially sorted data."""
+    x = rng.uniform(0, 30, (2, 300, 3)).astype(np.float32)
+    x = np.stack([xi[np.argsort(xi[:, 0])] for xi in x])
+    xj = jnp.asarray(x)
+    k = 10
+    flat = np.asarray(knn_pallas(xj, k, packed=True, interpret=True))
+    capped = np.asarray(knn_pallas(
+        xj, k, packed=True, cap=k, window=128, interpret=True))
+    np.testing.assert_array_equal(capped, flat)
+
+
+def test_capped_high_recall_production_regime(rng):
+    """At the production shape ratio (window count >> k/cap) the capped
+    kernel must agree with the flat packed kernel on ~all neighbours of
+    spatially sorted LiDAR-like data: the stride dispersal sends adjacent
+    points to different windows, so per-window load ~ Poisson(k/W)."""
+    n, k = 3000, 30
+    x = rng.uniform(0, 30, (2, n, 3)).astype(np.float32)
+    x = np.stack([xi[np.argsort(xi[:, 0])] for xi in x])
+    x[..., 2] = rng.uniform(0, 5, (2, n))
+    xj = jnp.asarray(x)
+    flat = np.asarray(knn_pallas(xj, k, packed=True, interpret=True))
+    capped = np.asarray(knn_pallas(
+        xj, k, packed=True, cap=8, window=128, interpret=True))
+    agree = np.mean(capped == flat)
+    assert agree > 0.999, agree
+
+
+def test_capped_adversarial_modular_cluster(rng):
+    """Documented failure mode: points whose indices share a residue class
+    mod W collapse into ONE window after stride dispersal; if > cap of a
+    query's top-k are such points the tail is lost. The kernel must
+    degrade gracefully — still return valid, unique indices with the head
+    of the ranking intact."""
+    n, k, window = 512, 12, 128
+    n_win = 512 // window  # 4 windows
+    x = rng.uniform(0, 100, (1, n, 3)).astype(np.float32)
+    # plant a tight cluster at indices = 5 mod 4... all in one window:
+    # stride dispersal maps original o to window (o mod W), so pick
+    # indices congruent mod n_win.
+    cluster = np.arange(1, 1 + n_win * (k + 4), n_win)  # same residue
+    x[0, cluster] = np.float32([50, 50, 50]) + rng.normal(
+        0, 1e-3, (len(cluster), 3)).astype(np.float32)
+    xj = jnp.asarray(x)
+    capped = np.asarray(knn_pallas(
+        xj, k, packed=True, cap=4, window=window, interpret=True))
+    flat = np.asarray(knn_pallas(xj, k, packed=True, interpret=True))
+    q = int(cluster[0])
+    # head (top-cap-ish) must match; all indices valid and unique
+    assert capped.min() >= 0 and capped.max() < n
+    assert len(set(capped[0, q])) == k
+    np.testing.assert_array_equal(capped[0, q, :4], flat[0, q, :4])
