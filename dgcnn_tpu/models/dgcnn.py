@@ -67,7 +67,8 @@ class DGCNNConfig:
     # TPU knobs (no reference equivalent):
     knn_query_chunk: int | None = 1024   # query rows per kNN scan step
     compute_dtype: str | None = None     # e.g. "bfloat16" for matmul inputs
-    knn_impl: str = "xla"          # "xla"|"approx"|"pallas"|"pallas_packed"
+    # "xla"|"approx"|"pallas"|"pallas_packed"|"pallas_capped"|"auto"
+    knn_impl: str = "xla"
     fuse_epilogue: bool = False    # fused eval EdgeConv epilogue kernel
     # Training BN batch-stat reduction: "one_pass" fuses mean/var into a
     # single sweep of each (B,N,k,C) stage tensor (default; ~1e-6 numeric
@@ -178,12 +179,14 @@ def _mm(x: jax.Array, w: jax.Array, cdtype) -> jax.Array:
 def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False) -> jax.Array:
     impl = cfg.knn_impl
     if impl == "auto":
-        # TPU: fused Pallas kernel for inference; approx_max_k for training
-        # (the production setting — 3x cheaper per kNN, soak-validated to
-        # the same converged accuracy, BASELINE.md). Chunked XLA top_k
-        # elsewhere (the kernel would only run interpreted off-TPU).
+        # TPU: fused Pallas kernel (exact) for inference; the hierarchical
+        # capped packed kernel for training (the production setting —
+        # fastest per kNN AND higher neighbour fidelity than approx_max_k,
+        # soak-validated to the same converged accuracy, BASELINE.md).
+        # Chunked XLA top_k elsewhere (the kernels would only run
+        # interpreted off-TPU).
         if jax.default_backend() == "tpu":
-            impl = "approx" if train else "pallas"
+            impl = "pallas_capped" if train else "pallas"
         else:
             impl = "xla"
     if impl in ("pallas", "pallas_packed", "pallas_capped"):
@@ -194,6 +197,13 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False) -> jax.Array:
                 x, cfg.k,
                 packed=impl in ("pallas_packed", "pallas_capped"),
                 cap=8 if impl == "pallas_capped" else 0,
+                # Capped cap-loop structure: python-unrolled (0) is ~1.4
+                # ms/call faster but costs minutes of Mosaic compile inside
+                # the big train program (measured 612 s first epoch); fori
+                # (1) compiles in seconds. Inference is kNN-dominated
+                # (3×7.3 of 36 ms) -> unrolled; the train step is not
+                # (kNN ~9 of ~107 ms) -> fori. scripts/exp_capped_unroll.py
+                unroll_cap=1 if train else 0,
             ),
             "pt",
         )

@@ -88,7 +88,7 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU knobs
     p.add_argument("--knn_impl", type=str, default="auto",
                    choices=["auto", "xla", "approx", "pallas",
-                            "pallas_packed"])
+                            "pallas_packed", "pallas_capped"])
     p.add_argument("--compute_dtype", type=str, default=None)
     p.add_argument("--matmul_precision", type=str, default=None,
                    choices=[None, "default", "high", "highest"],

@@ -101,7 +101,7 @@ def main():
         validation_batch_size=8, lr=1e-3, emb_dims=1024,
         scheduler="cos", validation_prop=0.2,
         model_root=os.path.join(root, "ckpt"), exp_name="full",
-        tb_dir=os.path.join(root, "tb"), knn_impl="approx",
+        tb_dir=os.path.join(root, "tb"), knn_impl="pallas_capped",
     )
     summary["train_s"] = round(time.time() - t0, 1)
     summary["train"] = train_summary
@@ -135,7 +135,7 @@ def main():
     from dgcnn_tpu.train.steps import make_predict_step
 
     impl_metrics = {}
-    for impl in ("pallas", "pallas_packed"):
+    for impl in ("pallas", "pallas_packed", "pallas_capped"):
         m_i = run_test(
             30, io, data_dir=npy_dir, num_points=7000, num_classes=3,
             num_features=4, test_batch_size=8, emb_dims=1024,
@@ -149,20 +149,21 @@ def main():
             "iou": [round(float(v), 5) for v in m_i["iou"]],
         }
     summary["packed_vs_exact_eval"] = impl_metrics
-    d_iou = [
-        round(a - b, 5)
-        for a, b in zip(impl_metrics["pallas_packed"]["iou"],
-                        impl_metrics["pallas"]["iou"])
-    ]
-    print(f"packed-vs-exact per-class IoU delta (trained): {d_iou}",
-          flush=True)
+    for variant in ("pallas_packed", "pallas_capped"):
+        d_iou = [
+            round(a - b, 5)
+            for a, b in zip(impl_metrics[variant]["iou"],
+                            impl_metrics["pallas"]["iou"])
+        ]
+        print(f"{variant}-vs-exact per-class IoU delta (trained): {d_iou}",
+              flush=True)
 
     ds = FugroDataset("test", npy_dir, num_point=7000, seed=1,
                       validation_prop=0.2, classes=range(3))
     batch = next(ds.batches(8, shuffle=False, with_mask=False))
     drift_probs = {}
     preds_by = {}
-    for impl in ("pallas", "pallas_packed"):
+    for impl in ("pallas", "pallas_packed", "pallas_capped"):
         cfg_i = DGCNNConfig(num_classes=3, num_features=4, k=30,
                             emb_dims=1024, knn_impl=impl)
         params, bn = _restore(cfg_i, os.path.join(root, "ckpt"),
@@ -171,16 +172,17 @@ def main():
             cfg_i, min_class_confidence=0.0)(params, bn, batch.points)
         drift_probs[impl] = np.asarray(probs)
         preds_by[impl] = np.asarray(pred)
-    drift = np.abs(drift_probs["pallas_packed"] - drift_probs["pallas"])
-    agree = (preds_by["pallas_packed"] == preds_by["pallas"]).mean()
-    summary["packed_vs_exact_pointwise"] = {
-        "max_prob_drift": float(drift.max()),
-        "mean_prob_drift": float(drift.mean()),
-        "argmax_agreement": float(agree),
-    }
-    print(f"packed-vs-exact (trained, 56k pts): max prob drift "
-          f"{drift.max():.2e}, mean {drift.mean():.2e}, argmax agreement "
-          f"{agree*100:.4f}%", flush=True)
+    for variant in ("pallas_packed", "pallas_capped"):
+        drift = np.abs(drift_probs[variant] - drift_probs["pallas"])
+        agree = (preds_by[variant] == preds_by["pallas"]).mean()
+        summary[f"{variant}_vs_exact_pointwise"] = {
+            "max_prob_drift": float(drift.max()),
+            "mean_prob_drift": float(drift.mean()),
+            "argmax_agreement": float(agree),
+        }
+        print(f"{variant}-vs-exact (trained, 56k pts): max prob drift "
+              f"{drift.max():.2e}, mean {drift.mean():.2e}, argmax "
+              f"agreement {agree*100:.4f}%", flush=True)
 
     t0 = time.time()
     data, preds = predict(
@@ -188,7 +190,7 @@ def main():
         os.path.join(root, "classified.las"),
         num_points=7000, block_size=30.0, num_classes=3, num_features=4,
         emb_dims=1024, min_class_confidence=0.0,
-        model_root=os.path.join(root, "ckpt"), knn_impl="approx",
+        model_root=os.path.join(root, "ckpt"), knn_impl="pallas_capped",
         batch_size=8,
     )
     summary["predict_s"] = round(time.time() - t0, 1)

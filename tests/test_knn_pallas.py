@@ -154,3 +154,21 @@ def test_capped_adversarial_modular_cluster(rng):
     assert capped.min() >= 0 and capped.max() < n
     assert len(set(capped[0, q])) == k
     np.testing.assert_array_equal(capped[0, q, :4], flat[0, q, :4])
+
+
+@pytest.mark.parametrize("uc,um", [(0, 0), (1, 1), (0, 1)])
+def test_capped_unroll_variants_identical(uc, um, rng):
+    """The capped kernel's loop-structure knobs (python-unrolled vs fori
+    cap/merge loops — a compile-time/runtime trade, see
+    scripts/exp_capped_unroll.py) must not change results: every variant
+    is the same extraction algorithm."""
+    x = rng.uniform(0, 30, (2, 700, 3)).astype(np.float32)
+    x = np.stack([xi[np.argsort(xi[:, 0])] for xi in x])
+    xj = jnp.asarray(x)
+    k = 13
+    base = np.asarray(knn_pallas(
+        xj, k, packed=True, cap=4, window=128, interpret=True))
+    out = np.asarray(knn_pallas(
+        xj, k, packed=True, cap=4, window=128, interpret=True,
+        unroll_cap=uc, unroll_merge=um))
+    np.testing.assert_array_equal(out, base)
