@@ -29,6 +29,23 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def make_blocks(b: int = B, n: int = N, seed: int = 0):
+    """Workload-representative input: spatially x-sorted 30 m LiDAR-like
+    blocks (xyz + one echo feature), the layout `prepare/blocks.py`
+    produces. Neighbour indices of sorted blocks are spatially local,
+    which is measurably faster for the gather stages than random-normal
+    data (~15% at B=8) on BOTH the torch reference and this framework —
+    the same generator feeds both sides of `vs_baseline`."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0.0, 30.0, (b, n, 3)).astype(np.float32)
+    x = np.stack([xi[np.argsort(xi[:, 0])] for xi in x])
+    x[..., 2] = rng.uniform(0.0, 5.0, (b, n))
+    feat = rng.uniform(0.0, 5.0, (b, n, 1)).astype(np.float32)
+    return np.concatenate([x, feat], axis=-1)  # (b, n, 4)
+
+
 def _roundtrip_s() -> float:
     """Host<->device round-trip latency (large on tunnelled devices) —
     subtracted from per-iteration sync timings."""
@@ -70,7 +87,7 @@ def bench_jax() -> dict:
         cfg = DGCNNConfig(num_classes=C, num_features=F, k=K, emb_dims=EMB,
                           knn_impl=knn_impl)
         params, state = init_dgcnn(jax.random.key(0), cfg)
-        x = jax.random.normal(jax.random.key(1), (B, N, F), jnp.float32)
+        x = jnp.asarray(make_blocks())
 
         # reduce the output on device so each timed step syncs on one scalar;
         # naive block_until_ready can return before remote work drains on
@@ -118,7 +135,8 @@ def measure_torch_baseline() -> float | None:
         m = ref_model.DGCNN(num_classes=C, num_features=F, k=K,
                             dropout=0.5, emb_dims=EMB, cuda=False)
         m.eval()
-        x = torch.randn(1, F, N)
+        # same spatially-sorted LiDAR-like block generator as the jax side
+        x = torch.from_numpy(make_blocks(b=1)).permute(0, 2, 1).contiguous()
         with torch.no_grad():
             m(x)  # warmup
             iters = 3
@@ -166,7 +184,7 @@ def bench_train_step() -> float | None:
         tx = make_optimizer(lr=1e-3, epochs=30, steps_per_epoch=100)
         state = init_train_state(jax.random.key(0), cfg, tx)
         step = make_train_step(cfg, tx, donate=True)
-        pts = jax.random.normal(jax.random.key(1), (B, N, F))
+        pts = jnp.asarray(make_blocks())
         labels = jax.random.randint(jax.random.key(2), (B, N), 0, C)
         mask = jnp.ones((B, N))
         state, m = step(state, pts, labels, mask)
@@ -178,7 +196,7 @@ def bench_train_step() -> float | None:
             state, m = step(state, pts, labels, mask)
             float(m["loss"])
         per = (time.perf_counter() - t0) / iters - rt
-        log(f"train step (approx kNN): {per*1e3:.1f} ms "
+        log(f"train step (capped kNN): {per*1e3:.1f} ms "
             f"= {B*N/per:,.0f} pts/s")
         return per
     except Exception as e:
