@@ -22,25 +22,54 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(idx_ref, dy_ref, out_ref):
+def _kernel(idx_ref, dy_ref, out_ref, *accs, nchunk):
     c = pl.program_id(1)
 
     @pl.when(c == 0)
     def _zero():
         out_ref[...] = jnp.zeros_like(out_ref)
+        for a in accs:
+            a[...] = jnp.zeros_like(a)
 
     chunk = dy_ref.shape[1]
+    ncopies = 1 + len(accs)
 
-    def body(r, _):
-        t = idx_ref[0, 0, r]
-        out_ref[0, pl.dslice(t, 1), :] += dy_ref[0, r, :][None, :]
-        return 0
+    if ncopies == 1:
+        def body(r, _):
+            t = idx_ref[0, 0, r]
+            out_ref[0, pl.dslice(t, 1), :] += dy_ref[0, r, :][None, :]
+            return 0
 
-    jax.lax.fori_loop(0, chunk, body, 0, unroll=False)
+        jax.lax.fori_loop(0, chunk, body, 0, unroll=False)
+    else:
+        # Rotate rows across independent accumulator copies: consecutive
+        # iterations' read-modify-write chains hit DISJOINT arrays, so the
+        # load of row r+1's accumulator can issue while row r's store
+        # drains (the single-accumulator loop serialises on the possible
+        # same-address hazard). Copies are summed into out on the last
+        # grid step.
+        def body(i, _):
+            r = i * ncopies
+            t = idx_ref[0, 0, r]
+            out_ref[0, pl.dslice(t, 1), :] += dy_ref[0, r, :][None, :]
+            for j, a in enumerate(accs):
+                tj = idx_ref[0, 0, r + 1 + j]
+                a[pl.dslice(tj, 1), :] += dy_ref[0, r + 1 + j, :][None, :]
+            return 0
+
+        # chunk is padded to a multiple of ncopies by the caller
+        jax.lax.fori_loop(0, chunk // ncopies, body, 0, unroll=False)
+
+        @pl.when(c == nchunk - 1)
+        def _merge():
+            total = out_ref[0]
+            for a in accs:
+                total = total + a[...]
+            out_ref[0] = total
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "chunk", "interpret")
+    jax.jit, static_argnames=("n", "chunk", "interpret", "copies")
 )
 def scatter_add_rows(
     dy: jax.Array,
@@ -49,6 +78,7 @@ def scatter_add_rows(
     *,
     chunk: int = 2048,
     interpret: bool = False,
+    copies: int = 1,
 ) -> jax.Array:
     """out[b, idx[b, m]] += dy[b, m]  — exact up to f32 sum order.
 
@@ -58,11 +88,17 @@ def scatter_add_rows(
         n: output row count.
         chunk: rows per grid step (VMEM holds (chunk, C) dy + the full
             (n+8, C) accumulator; 2048 measured fastest on v5e).
+        copies: independent VMEM accumulator copies rotated across rows
+            (breaks the serial same-address RMW hazard chain; copies are
+            summed on the last grid step). 1 = the original single-
+            accumulator loop.
 
     Returns:
         (B, n, C) float32 sums.
     """
     b, m, c = dy.shape
+    if chunk % copies:
+        raise ValueError(f"chunk {chunk} not divisible by copies {copies}")
     nchunk = -(-m // chunk)
     pad = nchunk * chunk - m
     if pad:  # padded rows dump into scratch row n (sliced off below)
@@ -72,7 +108,7 @@ def scatter_add_rows(
     dy3 = dy.reshape(b, nchunk * chunk, c)
     n_out = -(-(n + 1) // 8) * 8  # row n = pad dump; rows 8-aligned
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, nchunk=nchunk),
         grid=(b, nchunk),
         in_specs=[
             pl.BlockSpec(
@@ -84,6 +120,14 @@ def scatter_add_rows(
         ],
         out_specs=pl.BlockSpec((1, n_out, c), lambda bb, cc: (bb, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n_out, c), dy.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_out, c), dy.dtype) for _ in range(copies - 1)
+        ],
+        # accumulator copies + pipelined dy chunks overflow Mosaic's
+        # default 16 MiB scoped-VMEM window (v5e has 128 MiB per core)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+        ),
         interpret=interpret,
     )(idx3, dy3)
     return out[:, :n]

@@ -65,16 +65,24 @@ def _gather_bwd(res, dy):
     dtype = token.dtype
     c = dy.shape[-1]
     k = idx.shape[-1]
+    acc_bytes = (n + 8) * c * 4
     use_pallas = (
         jax.default_backend() == "tpu"
         and dtype == jnp.float32
-        and (n + 8) * c * 4 <= 8 * 2**20  # accumulator must fit VMEM
+        and acc_bytes <= 8 * 2**20  # accumulator must fit VMEM
     )
     if use_pallas:
         from dgcnn_tpu.kernels.scatter_pallas import scatter_add_rows
 
+        # rotate rows over as many accumulator copies as fit a ~16 MiB
+        # VMEM budget (breaks the serial RMW chain: 4 copies measured
+        # 1.5x the single-accumulator kernel at the train-step shape)
+        copies = 4
+        while copies > 1 and copies * acc_bytes > 16 * 2**20:
+            copies //= 2
         da = scatter_add_rows(
-            dy.reshape(b, n * k, c), idx.reshape(b, n * k), n
+            dy.reshape(b, n * k, c), idx.reshape(b, n * k), n,
+            copies=copies,
         )
     else:
         table = jnp.zeros((b * n, c), dtype)

@@ -5,6 +5,7 @@ decomposition vs the explicit edge-feature formulation
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dgcnn_tpu.ops.edgeconv import (
     edge_conv_linear,
@@ -94,6 +95,23 @@ def test_scatter_pallas_kernel_interpret(rng):
     dy = jnp.asarray(rng.standard_normal((b, m, c)), jnp.float32)
     idx = jnp.asarray(rng.integers(0, n, (b, m)), jnp.int32)
     got = scatter_add_rows(dy, idx, n, chunk=128, interpret=True)
+    want = jnp.zeros((b, n, c)).at[jnp.arange(b)[:, None], idx].add(dy)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("copies", [2, 4])
+def test_scatter_pallas_copies_variants(copies, rng):
+    """The accumulator-copies knob (rotating rows across independent VMEM
+    accumulators to break the serial RMW chain) must be a pure perf knob:
+    results equal the single-accumulator kernel up to f32 sum order."""
+    from dgcnn_tpu.kernels.scatter_pallas import scatter_add_rows
+
+    b, m, c, n = 2, 500, 16, 40
+    dy = jnp.asarray(rng.standard_normal((b, m, c)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n, (b, m)), jnp.int32)
+    got = scatter_add_rows(dy, idx, n, chunk=128, copies=copies,
+                           interpret=True)
     want = jnp.zeros((b, n, c)).at[jnp.arange(b)[:, None], idx].add(dy)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
