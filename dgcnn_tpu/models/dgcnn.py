@@ -69,6 +69,11 @@ class DGCNNConfig:
     compute_dtype: str | None = None     # e.g. "bfloat16" for matmul inputs
     # "xla"|"approx"|"pallas"|"pallas_packed"|"pallas_capped"|"auto"
     knn_impl: str = "xla"
+    # per-window extraction budget of the capped kernel (cost ~ cap;
+    # accuracy is the Poisson tail P(window load > cap), see
+    # kernels/knn_pallas.py). 8 = measured bit-identical to flat packed
+    # at production shapes.
+    knn_cap: int = 8
     fuse_epilogue: bool = False    # fused eval EdgeConv epilogue kernel
     # Training BN batch-stat reduction: "one_pass" fuses mean/var into a
     # single sweep of each (B,N,k,C) stage tensor (default; ~1e-6 numeric
@@ -196,7 +201,7 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False) -> jax.Array:
             knn_pallas(
                 x, cfg.k,
                 packed=impl in ("pallas_packed", "pallas_capped"),
-                cap=8 if impl == "pallas_capped" else 0,
+                cap=cfg.knn_cap if impl == "pallas_capped" else 0,
                 # Capped cap-loop structure: python-unrolled (0) is ~1.4
                 # ms/call faster but costs minutes of Mosaic compile inside
                 # the big train program (measured 612 s first epoch); fori

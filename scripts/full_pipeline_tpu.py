@@ -55,6 +55,12 @@ def main():
     summary = {}
     rng = np.random.default_rng(7)
     root = os.path.abspath("full_pipeline_run")
+    if os.path.exists(root):
+        # stale artifacts make the train stage silently resume from the
+        # previous run's checkpoint (a no-op "soak") — always start clean
+        import shutil
+
+        shutil.rmtree(root)
     os.makedirs(root, exist_ok=True)
     raw = os.path.join(root, "raw")
     os.makedirs(raw, exist_ok=True)
