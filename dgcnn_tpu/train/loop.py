@@ -88,6 +88,7 @@ def train(
     smoothing: bool = True,
     device_masks: bool = False,
     remat: "bool | str" = False,
+    grad_accum: int = 1,
     patience: int | None = None,
 ) -> dict:
     """Train a DGCNN. Returns a summary dict (best balanced accuracy etc.).
@@ -163,7 +164,7 @@ def train(
     exclude = tuple(int(c) for c in exclude_classes if int(c) >= 0)
     train_step = make_train_step(
         cfg, tx, smoothing=smoothing, device_masks=device_masks,
-        exclude_classes=exclude, remat=remat,
+        exclude_classes=exclude, remat=remat, grad_accum=grad_accum,
     )
     eval_step = make_eval_step(cfg, smoothing=smoothing)
     writer = ScalarWriter(os.path.join(tb_dir, exp_name))
@@ -303,5 +304,6 @@ def train_args(args, io: IOStream) -> dict:
         compute_dtype=getattr(args, "compute_dtype", None),
         matmul_precision=getattr(args, "matmul_precision", None),
         remat=getattr(args, "remat", False),
+        grad_accum=getattr(args, "grad_accum", 1),
         patience=getattr(args, "patience", None),
     )

@@ -126,6 +126,7 @@ def make_train_step(
     device_masks: bool = False,
     exclude_classes: tuple[int, ...] = (),
     remat: "bool | str" = False,
+    grad_accum: int = 1,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -133,6 +134,16 @@ def make_train_step(
     and returns ``(new_state, metrics)`` where metrics holds the scalar loss
     and a (C, C) confusion matrix over masked points (accumulate matrices on
     host and derive accuracy / balanced accuracy / IoU at logging time).
+
+    ``grad_accum > 1`` splits the leading batch axis into that many
+    micro-batches, runs them through a ``lax.scan`` accumulating gradients
+    (and BN running statistics sequentially, as torch would see the same
+    micro-batches), and applies ONE optimizer update on the mean gradient.
+    Program size stays that of the micro-batch — effective batches beyond
+    the compiler's single-program ceiling (B=32+ on one v5e) train fine.
+    Loss is the mean of per-micro-batch masked means (standard
+    grad-accumulation semantics; differs from a global masked mean only
+    when micro-batches carry different valid-point counts).
 
     ``device_masks=True`` ignores the passed mask (still multiplied in as a
     validity mask) and draws the class-balance mask in-graph
@@ -192,13 +203,53 @@ def make_train_step(
             mask = mask * balanced_train_mask(
                 mask_rng, labels, cfg.num_classes, exclude_classes
             )
-        (loss, (new_bn, logits)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.bn_state, points, labels, mask, dropout_rng)
+        if grad_accum == 1:
+            (loss, (new_bn, logits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.bn_state, points, labels, mask,
+              dropout_rng)
+            pred = jnp.argmax(logits, axis=-1)
+            cm = confusion_matrix(pred, labels, cfg.num_classes,
+                                  weights=mask)
+        else:
+            b = points.shape[0]
+            if b % grad_accum:
+                raise ValueError(
+                    f"batch {b} not divisible by grad_accum {grad_accum}"
+                )
+            micro = b // grad_accum
+
+            def split_mb(t):
+                return t.reshape((grad_accum, micro) + t.shape[1:])
+
+            keys = jax.random.split(dropout_rng, grad_accum)
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like,
+                                                state.params)
+            zero_cm = jnp.zeros((cfg.num_classes, cfg.num_classes),
+                                jnp.float32)
+
+            def body(carry, xs):
+                bn, gacc, lacc, cmacc = carry
+                pts_i, lbl_i, msk_i, key_i = xs
+                (l_i, (bn, logits)), g_i = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, bn, pts_i, lbl_i, msk_i, key_i)
+                gacc = jax.tree_util.tree_map(jnp.add, gacc, g_i)
+                pred = jnp.argmax(logits, axis=-1)
+                cmacc = cmacc + confusion_matrix(
+                    pred, lbl_i, cfg.num_classes, weights=msk_i)
+                return (bn, gacc, lacc + l_i, cmacc), None
+
+            (new_bn, grads, loss, cm), _ = jax.lax.scan(
+                body,
+                (state.bn_state, zero_grads, jnp.float32(0.0), zero_cm),
+                (split_mb(points), split_mb(labels), split_mb(mask), keys),
+            )
+            inv = 1.0 / grad_accum
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            loss = loss * inv
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        pred = jnp.argmax(logits, axis=-1)
-        cm = confusion_matrix(pred, labels, cfg.num_classes, weights=mask)
         metrics = {"loss": loss, "confusion": cm}
         new_state = TrainState(
             params=new_params,

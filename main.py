@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "'selective' recomputes k-expanded stage tensors "
                         "(low memory, enables larger batches); 'full' is "
                         "jax.checkpoint nothing_saveable")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="micro-batches per optimizer step: batch_size is "
+                        "split this many ways and gradients accumulate in "
+                        "a lax.scan — effective batches beyond the "
+                        "single-program compile ceiling")
 
     # preprocessing
     p.add_argument("--base_dir", type=str, default=os.path.join(BASE_DIR, AREA))

@@ -208,3 +208,44 @@ def test_remat_string_values():
         make_train_step(CFG, tx, remat=val)  # builds without error
     with pytest.raises(ValueError, match="remat"):
         make_train_step(CFG, tx, remat="sometimes")
+
+
+def test_grad_accum_matches_plain_on_duplicated_batch():
+    """grad_accum=2 over a batch of two IDENTICAL micro-batches must
+    produce exactly the plain step's parameter update (train-mode BN
+    normalizes with batch stats, so identical micro-batches yield
+    identical per-micro gradients; their mean equals the single-micro
+    gradient). Dropout off so the per-micro PRNG keys are unused."""
+    cfg = DGCNNConfig(num_classes=4, num_features=3, k=6, emb_dims=32,
+                      knn_query_chunk=None, dropout=0.0)
+    tx = make_optimizer(lr=3e-3, scheduler="none")
+    pts, labels, mask = _batch(5, b=2, n=48)
+    dup = (jnp.concatenate([pts, pts]), jnp.concatenate([labels, labels]),
+           jnp.concatenate([mask, mask]))
+
+    s0 = init_train_state(jax.random.key(0), cfg, tx)
+    plain = make_train_step(cfg, tx, donate=False)
+    accum = make_train_step(cfg, tx, donate=False, grad_accum=2)
+
+    s_plain, m_plain = plain(s0, pts, labels, mask)
+    s_acc, m_acc = accum(s0, *dup)
+
+    np.testing.assert_allclose(float(m_acc["loss"]), float(m_plain["loss"]),
+                               rtol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s_acc.params),
+                     jax.tree_util.tree_leaves(s_plain.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-6, rtol=1e-5)
+    # confusion matrix counts both copies
+    np.testing.assert_allclose(np.asarray(m_acc["confusion"]),
+                               2 * np.asarray(m_plain["confusion"]),
+                               rtol=1e-6)
+
+
+def test_grad_accum_requires_divisible_batch():
+    tx = make_optimizer()
+    step = make_train_step(CFG, tx, donate=False, grad_accum=3)
+    pts, labels, mask = _batch(6, b=4, n=48)
+    with pytest.raises(ValueError, match="divisible"):
+        step(pts if False else init_train_state(jax.random.key(0), CFG, tx),
+             pts, labels, mask)
