@@ -1,0 +1,122 @@
+"""Serving layer: directory watcher classifies tiles, isolates failures,
+stays idempotent, and reports status (dgcnn_tpu/serve)."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from dgcnn_tpu.io.las import write_las
+from dgcnn_tpu.models.dgcnn import DGCNNConfig
+from dgcnn_tpu.serve import (
+    PredictService,
+    serve_directory,
+    start_status_server,
+)
+from dgcnn_tpu.train.checkpoint import save_checkpoint
+from dgcnn_tpu.train.steps import init_train_state, make_optimizer
+
+K, NUM_POINTS, EMB, NUM_CLASSES = 6, 128, 32, 3
+
+
+def _make_tile(path, seed=0, n=9000, extent=25.0):
+    rng = np.random.default_rng(seed)
+    xy = rng.random((n, 2)) * extent
+    z = 0.02 * xy[:, 0] + rng.normal(0, 0.1, n)
+    cls = np.full(n, 2)
+    write_las(str(path), xy[:, 0] + 5e5, xy[:, 1] + 6e6, z, cls)
+
+
+@pytest.fixture(scope="module")
+def model_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve_ckpt")
+    cfg = DGCNNConfig(num_classes=NUM_CLASSES, num_features=4, k=K,
+                      emb_dims=EMB)
+    tx = make_optimizer()
+    state = init_train_state(jax.random.key(0), cfg, tx)
+    save_checkpoint(str(root / "dgcnn_model.npz"), state)
+    return root
+
+
+@pytest.fixture
+def service(model_root):
+    return PredictService(
+        K, num_points=NUM_POINTS, block_size=25.0,
+        num_classes=NUM_CLASSES, num_features=4, emb_dims=EMB,
+        min_class_confidence=0.0, model_root=str(model_root),
+        batch_size=2,
+    )
+
+
+def test_serve_directory_classifies_and_reports(service, tmp_path):
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    _make_tile(in_dir / "tile_a.las", seed=1)
+    _make_tile(in_dir / "tile_b.las", seed=2)
+
+    n = serve_directory(service, str(in_dir), str(out_dir), once=True,
+                        settle_s=0.0)
+    assert n == 2
+    for stem in ("tile_a", "tile_b"):
+        assert (out_dir / f"{stem}.las").exists()
+        stats = json.loads((out_dir / f"{stem}.json").read_text())
+        assert stats["points"] > 0 and stats["seconds"] > 0
+    status = json.loads((out_dir / "status.json").read_text())
+    assert status["processed"] == 2 and status["failed"] == 0
+    assert status["total_points"] > 0
+
+    # idempotent: a second sweep does nothing
+    n2 = serve_directory(service, str(in_dir), str(out_dir), once=True,
+                         settle_s=0.0)
+    assert n2 == 0
+
+
+def test_serve_directory_isolates_failures(service, tmp_path):
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    (in_dir / "corrupt.las").write_bytes(b"not a las file at all")
+    _make_tile(in_dir / "good.las", seed=3)
+
+    n = serve_directory(service, str(in_dir), str(out_dir), once=True,
+                        settle_s=0.0)
+    assert n == 2
+    assert (out_dir / "good.las").exists()
+    err = json.loads(
+        (out_dir / "failed" / "corrupt.error.json").read_text())
+    assert "error" in err
+    status = json.loads((out_dir / "status.json").read_text())
+    assert status["failed"] == 1 and status["processed"] == 1
+    # failed tile is not retried on the next sweep
+    assert serve_directory(service, str(in_dir), str(out_dir), once=True,
+                           settle_s=0.0) == 0
+
+
+def test_status_server(service, tmp_path):
+    import urllib.request
+
+    thread = start_status_server(service, 0)
+    port = thread.server.server_address[1]
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+        body = json.loads(r.read())
+    assert body["processed"] == service.processed
+    thread.server.shutdown()
+
+
+def test_cli_once(model_root, tmp_path):
+    from dgcnn_tpu.serve.__main__ import main
+
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    _make_tile(in_dir / "t.las", seed=4)
+    rc = main([
+        "--in_dir", str(in_dir), "--out_dir", str(out_dir), "--once",
+        "--model_root", str(model_root), "--k", str(K),
+        "--num_points", str(NUM_POINTS), "--block_size", "25",
+        "--num_classes", str(NUM_CLASSES), "--emb_dims", str(EMB),
+        "--min_class_confidence", "0", "--test_batch_size", "2",
+        "--settle_s", "0",
+    ])
+    assert rc == 0
+    assert (out_dir / "t.las").exists()
