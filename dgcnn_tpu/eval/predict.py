@@ -81,6 +81,9 @@ def predict(
         pointcloud_file, features_output=features_output, features=features
     )
     io.cprint(f"loaded {len(data)} points from {pointcloud_file}")
+    if len(data) == 0:  # e.g. the noise filter removed everything
+        io.cprint("empty cloud — nothing to classify")
+        return np.zeros((0, data.shape[1])), np.zeros((0,), np.int32)
 
     dtm = build_dtm(data[:, :3], **(dtm_kwargs or {}))
     agl = gen_agl(dtm, data[:, :3])

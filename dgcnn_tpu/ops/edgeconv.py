@@ -74,15 +74,19 @@ def _gather_bwd(res, dy):
     if use_pallas:
         from dgcnn_tpu.kernels.scatter_pallas import scatter_add_rows
 
+        import os
+
         # rotate rows over as many accumulator copies as fit a ~16 MiB
         # VMEM budget (breaks the serial RMW chain: 4 copies measured
-        # 1.5x the single-accumulator kernel at the train-step shape)
-        copies = 4
+        # 1.5x the single-accumulator kernel at the train-step shape);
+        # env overrides are perf-experiment knobs (scripts/exp_*.py)
+        copies = int(os.environ.get("DGCNN_SCATTER_COPIES", 4))
         while copies > 1 and copies * acc_bytes > 16 * 2**20:
             copies //= 2
+        chunk = int(os.environ.get("DGCNN_SCATTER_CHUNK", 2048))
         da = scatter_add_rows(
             dy.reshape(b, n * k, c), idx.reshape(b, n * k), n,
-            copies=copies,
+            copies=copies, chunk=chunk,
         )
     else:
         table = jnp.zeros((b * n, c), dtype)

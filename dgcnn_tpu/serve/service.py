@@ -61,11 +61,14 @@ class PredictService:
         t0 = time.time()
         tmp = out_path + ".tmp"
         data, preds = predict(self.k, self.io, in_path, tmp, **self.kwargs)
-        os.replace(tmp, out_path)
+        # predict() writes no LAS when the tile has no classifiable blocks
+        produced = os.path.exists(tmp)
+        if produced:
+            os.replace(tmp, out_path)
         dt = time.time() - t0
         stats = {
             "input": os.path.abspath(in_path),
-            "output": os.path.abspath(out_path),
+            "output": os.path.abspath(out_path) if produced else None,
             "points": int(len(preds)),
             "seconds": round(dt, 3),
             "points_per_sec": round(len(preds) / dt, 1) if dt > 0 else None,

@@ -120,3 +120,20 @@ def test_cli_once(model_root, tmp_path):
     ])
     assert rc == 0
     assert (out_dir / "t.las").exists()
+
+
+def test_serve_empty_tile_is_not_a_failure(service, tmp_path):
+    """A tile with too few points for any block classifies to zero points
+    (predict writes no LAS) — the service must record it as processed
+    with points=0, not as a failure."""
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    _make_tile(in_dir / "sparse.las", seed=5, n=10)
+
+    n = serve_directory(service, str(in_dir), str(out_dir), once=True,
+                        settle_s=0.0)
+    assert n == 1
+    stats = json.loads((out_dir / "sparse.json").read_text())
+    assert stats["points"] == 0 and stats["output"] is None
+    status = json.loads((out_dir / "status.json").read_text())
+    assert status["failed"] == 0 and status["processed"] == 1
