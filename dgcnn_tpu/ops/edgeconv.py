@@ -77,10 +77,10 @@ def _gather_bwd(res, dy):
         import os
 
         # rotate rows over as many accumulator copies as fit a ~16 MiB
-        # VMEM budget (breaks the serial RMW chain: 4 copies measured
-        # 1.5x the single-accumulator kernel at the train-step shape);
+        # VMEM budget (breaks the serial RMW chain: 8 copies measured the
+        # in-step optimum — train step 98.2/93.5/85.1 ms at 2/4/8 copies);
         # env overrides are perf-experiment knobs (scripts/exp_*.py)
-        copies = int(os.environ.get("DGCNN_SCATTER_COPIES", 4))
+        copies = int(os.environ.get("DGCNN_SCATTER_COPIES", 8))
         while copies > 1 and copies * acc_bytes > 16 * 2**20:
             copies //= 2
         chunk = int(os.environ.get("DGCNN_SCATTER_CHUNK", 2048))
