@@ -262,6 +262,11 @@ def bench_e2e_tile() -> dict | None:
 
 
 def main():
+    from dgcnn_tpu.utils.compilation_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     import argparse
 
     ap = argparse.ArgumentParser()

@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from dgcnn_tpu.utils.compilation_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     args = build_parser().parse_args(argv)
     io = IOStream(args.log) if args.log else IOStream(
         "/dev/null", stream=sys.stderr)

@@ -160,6 +160,11 @@ def _snapshot_run_config(args) -> None:
 
 
 def main(argv=None):
+    from dgcnn_tpu.utils.compilation_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     import sys as _sys
 
     argv = list(_sys.argv[1:] if argv is None else argv)

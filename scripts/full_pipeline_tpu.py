@@ -45,6 +45,11 @@ def make_scene(rng, extent=220.0, density=45.0):
 
 
 def main():
+    from dgcnn_tpu.utils.compilation_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     from dgcnn_tpu.eval.predict import predict
     from dgcnn_tpu.eval.test import test as run_test
     from dgcnn_tpu.io.las import write_las
