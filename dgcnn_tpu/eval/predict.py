@@ -106,13 +106,17 @@ def predict(
             for start in range(0, len(block), num_points):
                 sel = order[start : start + num_points]
                 n_real = len(sel)
+                valid = np.zeros(num_points, bool)
+                valid[:n_real] = True
                 if n_real < num_points:  # pad by repeating earlier points
                     pad = rng.choice(order, num_points - n_real)
                     sel = np.concatenate([sel, pad])
-                chunks.append(block[sel])
-                valid = np.zeros(num_points, bool)
-                valid[:n_real] = True
-                chunk_valid.append(valid)
+                # x-sort the chunk (order is semantically free; sorted
+                # rows make the neighbour gathers spatially local —
+                # see FugroDataset.sort_points); valid mask rides along
+                perm = np.argsort(block[sel, 0], kind="stable")
+                chunks.append(block[sel[perm]])
+                chunk_valid.append(valid[perm])
         block_data = (
             np.stack(chunks) if chunks
             else np.zeros((0, num_points, data.shape[1]))
@@ -124,6 +128,12 @@ def predict(
             stride=block_size, random_sample=False, use_all_points=False,
             rng=rng,
         )
+        if len(block_data):
+            # x-sort each block's rows (see FugroDataset.sort_points)
+            block_data = np.stack([
+                blk[np.argsort(blk[:, 0], kind="stable")]
+                for blk in block_data
+            ])
     n_blocks = len(block_data)
     io.cprint(f"classifying {n_blocks} blocks of {num_points} points")
     if n_blocks == 0:

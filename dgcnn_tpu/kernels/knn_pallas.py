@@ -431,6 +431,12 @@ def knn_pallas(
     if packed and n_pad > 8192:
         packed = False  # index field is 13 bits
         cap = 0
+    if cap and (n_pad // window) * cap < k:
+        # extraction capacity below k: the merge would cycle already-
+        # emitted winners into the tail (duplicate neighbours). Small-N
+        # inputs fall back to the flat packed kernel — at these sizes it
+        # is cheap anyway.
+        cap = 0
     # indices are discrete — no tangents flow (and pallas_call has no JVP)
     x = jax.lax.stop_gradient(x)
     return _knn_pallas_jit(

@@ -60,7 +60,14 @@ class PredictService:
 
         t0 = time.time()
         tmp = out_path + ".tmp"
-        data, preds = predict(self.k, self.io, in_path, tmp, **self.kwargs)
+        try:
+            data, preds = predict(self.k, self.io, in_path, tmp,
+                                  **self.kwargs)
+        except Exception:
+            # never leak a partial .tmp into the output directory
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
         # predict() writes no LAS when the tile has no classifiable blocks
         produced = os.path.exists(tmp)
         if produced:
@@ -135,7 +142,11 @@ def serve_directory(
             if os.path.exists(sidecar) or os.path.exists(err_path):
                 continue
             src = os.path.join(in_dir, name)
-            if time.time() - os.path.getmtime(src) < settle_s:
+            try:
+                mtime = os.path.getmtime(src)
+            except OSError:
+                continue  # deleted/renamed between listdir and here
+            if time.time() - mtime < settle_s:
                 continue  # possibly still uploading
             out_las = os.path.join(out_dir, stem + ".las")
             try:

@@ -172,3 +172,20 @@ def test_capped_unroll_variants_identical(uc, um, rng):
         xj, k, packed=True, cap=4, window=128, interpret=True,
         unroll_cap=uc, unroll_merge=um))
     np.testing.assert_array_equal(out, base)
+
+
+def test_capped_small_n_capacity_fallback(rng):
+    """When total extraction capacity (windows x cap) is below k, the
+    capped kernel cannot produce k distinct neighbours (the merge would
+    cycle duplicates into the tail) — the wrapper must fall back to the
+    flat packed kernel and return the identical, duplicate-free result.
+    Regression test for the capacity bug found in review."""
+    x = jnp.asarray(rng.uniform(0, 30, (2, 500, 3)).astype(np.float32))
+    k = 30  # n_pad=512 at window=256 -> 2 windows x cap 8 = 16 < 30
+    capped = np.asarray(knn_pallas(x, k, packed=True, cap=8, window=256,
+                                   interpret=True))
+    flat = np.asarray(knn_pallas(x, k, packed=True, interpret=True))
+    np.testing.assert_array_equal(capped, flat)
+    for b in range(capped.shape[0]):
+        for i in range(0, capped.shape[1], 37):
+            assert len(set(capped[b, i])) == k

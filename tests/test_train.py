@@ -246,6 +246,6 @@ def test_grad_accum_requires_divisible_batch():
     tx = make_optimizer()
     step = make_train_step(CFG, tx, donate=False, grad_accum=3)
     pts, labels, mask = _batch(6, b=4, n=48)
+    state = init_train_state(jax.random.key(0), CFG, tx)
     with pytest.raises(ValueError, match="divisible"):
-        step(pts if False else init_train_state(jax.random.key(0), CFG, tx),
-             pts, labels, mask)
+        step(state, pts, labels, mask)
