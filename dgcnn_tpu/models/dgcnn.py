@@ -39,6 +39,7 @@ from jax.ad_checkpoint import checkpoint_name
 from dgcnn_tpu.ops.edgeconv import (
     edge_conv_linear,
     edge_conv_linear_extrema,
+    max_over_k,
 )
 from dgcnn_tpu.ops.knn import knn
 
@@ -263,7 +264,7 @@ def _edge_stage_two_conv(
     e, s_b = _batch_norm(e, params[bn_b], state[bn_b], train=train,
                          one_pass=cfg.bn_stats == "one_pass")
     e = _lrelu(e)
-    out = checkpoint_name(jnp.max(e, axis=2), "pt")
+    out = checkpoint_name(max_over_k(e), "pt")
     return out, {bn_a: s_a, bn_b: s_b}
 
 
@@ -281,7 +282,7 @@ def _edge_stage_single_conv(
         e = edge_conv_linear(x, idx, params["conv5"]["w"], compute_dtype=cd)
         e, s5 = _batch_norm(e, params["bn5"], state["bn5"], train=True,
                             one_pass=cfg.bn_stats == "one_pass")
-        return checkpoint_name(jnp.max(_lrelu(e), axis=2), "pt"), {"bn5": s5}
+        return checkpoint_name(max_over_k(_lrelu(e)), "pt"), {"bn5": s5}
     mx, mn = edge_conv_linear_extrema(
         x, idx, params["conv5"]["w"], compute_dtype=cd
     )

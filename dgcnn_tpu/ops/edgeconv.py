@@ -192,3 +192,44 @@ def edge_conv_linear_extrema(
     b = jnp.einsum("bnc,cd->bnd", xm, w_cm, preferred_element_type=jnp.float32)
     nbr = gather_neighbors(a, idx)                 # (B, N, k, C_out)
     return jnp.max(nbr, axis=2) + b, jnp.min(nbr, axis=2) + b
+
+
+def max_over_k(e: jax.Array) -> jax.Array:
+    """``jnp.max(e, axis=2)`` with a torch-matching backward.
+
+    JAX's reduce-max VJP splits the cotangent equally among tied maxima
+    (two extra full sweeps of the (B,N,k,C) tensor: an equality mask and
+    a tie-count normalisation). torch routes the gradient to the FIRST
+    argmax only (/root/reference/model.py:130 ``.max(dim=-1)`` backward),
+    which is both the reference's semantics and one sweep cheaper: the
+    forward stores the int8 argmax (B,N,C) and the backward builds the
+    one-hot expansion in a single compare+select pass.
+    """
+    return _max_over_k(e)
+
+
+@jax.custom_vjp
+def _max_over_k(e):
+    return jnp.max(e, axis=2)
+
+
+def _max_fwd(e):
+    # max and argmax reduce over the same axis of the same operand — XLA
+    # fuses them into one sweep of the (B,N,k,C) tensor
+    mx = jnp.max(e, axis=2)
+    am = jnp.argmax(e, axis=2)                     # (B, N, C), first-max
+    return mx, (am.astype(jnp.int8), e.shape[2])
+
+
+def _max_bwd(res, g):
+    am, k = res
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k, 1), 2)
+    de = jnp.where(
+        k_iota == am[:, :, None, :].astype(jnp.int32),
+        g[:, :, None, :],
+        0.0,
+    )
+    return (de,)
+
+
+_max_over_k.defvjp(_max_fwd, _max_bwd)

@@ -115,3 +115,26 @@ def test_scatter_pallas_copies_variants(copies, rng):
     want = jnp.zeros((b, n, c)).at[jnp.arange(b)[:, None], idx].add(dy)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_max_over_k_forward_and_grad(rng):
+    """max_over_k == jnp.max forward; backward routes the cotangent to the
+    FIRST argmax only (torch max-backward semantics,
+    /root/reference/model.py:130) — identical to JAX's split-among-ties
+    VJP whenever maxima are unique."""
+    from dgcnn_tpu.ops.edgeconv import max_over_k
+
+    e = jnp.asarray(rng.standard_normal((2, 5, 7, 3)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(max_over_k(e)), np.asarray(jnp.max(e, axis=2)))
+
+    g_custom = jax.grad(lambda t: jnp.sum(max_over_k(t) ** 2))(e)
+    g_ref = jax.grad(lambda t: jnp.sum(jnp.max(t, axis=2) ** 2))(e)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_ref),
+                               atol=1e-6)
+
+    # tie case: gradient goes to the first maximum only
+    t = jnp.zeros((1, 1, 4, 1), jnp.float32)
+    g = jax.grad(lambda v: jnp.sum(max_over_k(v)))(t)
+    np.testing.assert_array_equal(
+        np.asarray(g)[0, 0, :, 0], np.float32([1, 0, 0, 0]))
