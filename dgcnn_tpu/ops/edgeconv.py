@@ -198,12 +198,13 @@ def max_over_k(e: jax.Array) -> jax.Array:
     """``jnp.max(e, axis=2)`` with a torch-matching backward.
 
     JAX's reduce-max VJP splits the cotangent equally among tied maxima
-    (two extra full sweeps of the (B,N,k,C) tensor: an equality mask and
-    a tie-count normalisation). torch routes the gradient to the FIRST
-    argmax only (/root/reference/model.py:130 ``.max(dim=-1)`` backward),
-    which is both the reference's semantics and one sweep cheaper: the
-    forward stores the int8 argmax (B,N,C) and the backward builds the
-    one-hot expansion in a single compare+select pass.
+    and keeps the full (B,N,k,C) operand as a backward residual. torch
+    routes the gradient to the FIRST argmax only
+    (/root/reference/model.py:130 ``.max(dim=-1)`` backward) — this VJP
+    reproduces that semantics exactly, and its residual is the int8
+    argmax (B,N,C): ~170x smaller than the stage tensor. Step latency is
+    neutral on v5e (87-91 ms A/B, inside run noise); the wins are parity
+    and backward memory.
     """
     return _max_over_k(e)
 
