@@ -97,6 +97,7 @@ def _knn_kernel_packed_split(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) - cnorm_ref[0]
+    scores = scores - jnp.sum(q * q, axis=1, keepdims=True)
     qt = q.shape[0]
     bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
     key = jnp.where(bits >= 0, bits, jnp.int32(-0x80000000) - bits)
@@ -143,7 +144,7 @@ def _knn_kernel_packed_split(
 def _knn_kernel_packed_capped(
     x_ref, q_ref, cnorm_ref, inv_ref, idx_ref, packed_scr, win_scr,
     *, k_pad, n_pad, window, cap, k_real=None, unroll_cap=1,
-    unroll_merge=0,
+    unroll_merge=0, idx_bits=13,
 ):
     """Hierarchical (capped) packed-key extraction — the fast approximate
     top-k for production inference.
@@ -192,10 +193,14 @@ def _knn_kernel_packed_capped(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) - cnorm_ref[0]                       # (n_pad, qt)
+    # per-query |q|^2 subtraction: keys quantize -|x-q|^2 directly
+    # (see _knn_kernel_packed) — ranking unchanged, precision ~exact
+    scores = scores - jnp.sum(q * q, axis=1)[None, :]
     qt = q.shape[0]
     bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
     key = jnp.where(bits >= 0, bits, jnp.int32(-0x80000000) - bits) >> 1
-    packed = (key & jnp.int32(~0x1FFF)) | inv_ref[0]
+    imask = jnp.int32((1 << idx_bits) - 1)
+    packed = (key & ~imask) | inv_ref[0]
 
     n_win = n_pad // window
     int_min = jnp.int32(-0x80000000)
@@ -251,7 +256,7 @@ def _knn_kernel_packed_capped(
                 jnp.max(t, axis=0, keepdims=True), axis=1, keepdims=True
             )
             m = m + (t_max + int_min)
-            cols.append(jnp.int32(n_pad - 1) - (m & jnp.int32(0x1FFF)))
+            cols.append(jnp.int32(n_pad - 1) - (m & imask))
         out = jnp.concatenate(cols, axis=1)[0]     # (kr, qt)
         if kr < k_pad:
             out = jnp.concatenate(
@@ -265,7 +270,7 @@ def _knn_kernel_packed_capped(
                 jnp.max(t, axis=0, keepdims=True), axis=1, keepdims=True
             )
             m = m + (t_max + int_min)
-            col = jnp.int32(n_pad - 1) - (m & jnp.int32(0x1FFF))
+            col = jnp.int32(n_pad - 1) - (m & imask)
             idx_ref[0, pl.dslice(j, 1), :] = col[0]
             return m
 
@@ -274,15 +279,16 @@ def _knn_kernel_packed_capped(
 
 def _knn_kernel_packed(
     x_ref, q_ref, cnorm_ref, idx_ref, packed_scr, idx_scr, *, k_pad, n_pad,
-    unroll=1, k_real=None,
+    unroll=1, k_real=None, idx_bits=13,
 ):
     """Packed-key variant: each score is collapsed to a single int32 key —
     the float's order-preserving integer transform truncated to its top 19
     bits, with ``(n_pad-1) - column`` in the low 13 bits. One max-reduce
     then one compare+select per extraction step (vs ~7 full-width ops for
-    the f32 kernel), at the cost of ranking at ~10-bit score mantissa
-    precision (ties broken toward the lower column, matching top_k).
-    n_pad must fit 13 bits (<= 8192)."""
+    the f32 kernel), at the cost of ranking at reduced score precision
+    (ties broken toward the lower column, matching top_k). ``idx_bits``
+    (13 up to n_pad=8192, at most 15 / n_pad=32768) sets the index field;
+    score keys carry the remaining 31-idx_bits bits."""
     q = q_ref[0]
     x = x_ref[0]
     scores = 2.0 * jax.lax.dot_general(
@@ -290,6 +296,13 @@ def _knn_kernel_packed(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) - cnorm_ref[0]
+    # Per-query re-centering before quantization: subtracting |q_i|^2
+    # (constant per row — ranking unchanged) turns each score into exactly
+    # -|x_j - q_i|^2, so the packed key quantizes the DISTANCE itself
+    # (relative resolution ~2^-9 of each d^2) instead of a coordinate-
+    # magnitude-inflated surrogate. Measured: set recall vs f32-exact
+    # 0.93 -> ~1.0 at the production shape on 30 m blocks.
+    scores = scores - jnp.sum(q * q, axis=1, keepdims=True)
 
     qt = q.shape[0]
     bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
@@ -300,7 +313,8 @@ def _knn_kernel_packed(
     # subtract extraction below. Net score precision: top 18 bits.
     key = jnp.where(bits >= 0, bits, jnp.int32(-0x80000000) - bits) >> 1
     iota = jax.lax.broadcasted_iota(jnp.int32, (qt, n_pad), 1)
-    packed = (key & jnp.int32(~0x1FFF)) | (jnp.int32(n_pad - 1) - iota)
+    imask = jnp.int32((1 << idx_bits) - 1)
+    packed = (key & ~imask) | (jnp.int32(n_pad - 1) - iota)
     packed_scr[:] = packed
 
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (qt, k_pad), 1)
@@ -320,7 +334,7 @@ def _knn_kernel_packed(
         t = p - (m_prev + int_min)           # wraps; eligible -> positive
         t_max = jnp.max(t, axis=1, keepdims=True)              # (QT, 1)
         m = m_prev + (t_max + int_min)       # unwrap
-        col = jnp.int32(n_pad - 1) - (m & jnp.int32(0x1FFF))
+        col = jnp.int32(n_pad - 1) - (m & imask)
         idx_scr[:] = jnp.where(k_iota == j, col, idx_scr[:])
         return m
 
@@ -428,9 +442,16 @@ def knn_pallas(
         from dgcnn_tpu.ops.knn import knn as knn_xla
 
         return knn_xla(x, k, query_chunk=1024)
-    if packed and n_pad > 8192:
-        packed = False  # index field is 13 bits
+    # index field width: 13 bits up to n_pad=8192 (18-bit score keys, the
+    # production regime), widening to at most 15 bits / n_pad=32768 for
+    # whole-room inputs (score keys narrow to 16 bits — ranking gets
+    # coarser; the trained-model evidence in BASELINE.md covers 13-bit).
+    idx_bits = max(13, (n_pad - 1).bit_length())
+    if packed and idx_bits > 15:
+        packed = False
         cap = 0
+    if splits > 1 and n_pad > 8192:
+        splits = 1  # the split study variant is 13-bit only
     if cap and (n_pad // window) * cap < k:
         # extraction capacity below k: the merge would cycle already-
         # emitted winners into the tail (duplicate neighbours). Small-N
@@ -443,7 +464,7 @@ def knn_pallas(
         x, k, query_tile=query_tile, interpret=interpret, packed=packed,
         splits=splits, cap=cap, window=window, unroll_cap=unroll_cap,
         unroll_merge=unroll_merge,
-    )
+    )  # idx_bits re-derived inside from the padded length
 
 
 @functools.partial(
@@ -482,6 +503,7 @@ def _knn_pallas_jit(
     if k > n:
         raise ValueError(f"k={k} exceeds number of points {n}")
     n_pad = _round_up(n, window if cap else 128)
+    idx_bits = max(13, (n_pad - 1).bit_length())
     c_pad = max(_round_up(c, 8), 8)
     k_pad = _round_up(k, 8)
     qt = min(query_tile, n_pad)
@@ -513,7 +535,7 @@ def _knn_pallas_jit(
         kernel = functools.partial(
             _knn_kernel_packed_capped, k_pad=k_pad, n_pad=n_pad,
             window=window, cap=cap, k_real=k, unroll_cap=unroll_cap,
-            unroll_merge=unroll_merge,
+            unroll_merge=unroll_merge, idx_bits=idx_bits,
         )
         out = pl.pallas_call(
             kernel,
@@ -556,6 +578,7 @@ def _knn_pallas_jit(
         kernel = functools.partial(
             _knn_kernel_packed if packed else _knn_kernel,
             k_pad=k_pad, n_pad=n_pad, k_real=k,
+            **({"idx_bits": idx_bits} if packed else {}),
         )
         idx_scr_cols = k_pad
     scratch_dtype = jnp.int32 if packed else jnp.float32

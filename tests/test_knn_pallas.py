@@ -150,10 +150,18 @@ def test_capped_adversarial_modular_cluster(rng):
         xj, k, packed=True, cap=4, window=window, interpret=True))
     flat = np.asarray(knn_pallas(xj, k, packed=True, interpret=True))
     q = int(cluster[0])
-    # head (top-cap-ish) must match; all indices valid and unique
+    # all indices valid and unique, and the head must come from the
+    # planted cluster (its members are mutually closer than anything
+    # else). Exact head ORDER is not comparable across kernels here: the
+    # cluster's pairwise distances (~1e-3 -> d^2 ~ 1e-6) sit below the
+    # f32 score-cancellation noise (~1e-4 at these coordinates), so the
+    # flat and capped kernels' different accumulation orders may rank
+    # these physically-indistinguishable neighbours differently.
     assert capped.min() >= 0 and capped.max() < n
     assert len(set(capped[0, q])) == k
-    np.testing.assert_array_equal(capped[0, q, :4], flat[0, q, :4])
+    cluster_set = set(int(c) for c in cluster)
+    assert set(capped[0, q, :4].tolist()) <= cluster_set
+    assert set(flat[0, q, :4].tolist()) <= cluster_set
 
 
 @pytest.mark.parametrize("uc,um", [(0, 0), (1, 1), (0, 1)])
@@ -189,3 +197,23 @@ def test_capped_small_n_capacity_fallback(rng):
     for b in range(capped.shape[0]):
         for i in range(0, capped.shape[1], 37):
             assert len(set(capped[b, i])) == k
+
+
+def test_packed_wide_index_large_n(rng):
+    """n_pad above 8192 widens the packed index field (14-15 bits) instead
+    of abandoning the packed kernels: selection stays near-exact (score
+    keys narrow from 18 to 17-16 bits) and the capped kernel still equals
+    the flat packed kernel without window overflow."""
+    n, k = 10000, 12  # n_pad 10240 -> idx_bits 14
+    x = rng.uniform(0, 50, (1, n, 3)).astype(np.float32)
+    x = x[:, np.argsort(x[0, :, 0])]
+    xj = jnp.asarray(x)
+    packed = np.asarray(knn_pallas(xj, k, packed=True, interpret=True))
+    exact = np.asarray(knn_pallas(xj, k, interpret=True))
+    agree = np.mean(np.sort(packed, -1) == np.sort(exact, -1))
+    assert agree > 0.99, agree
+    assert packed.min() >= 0 and packed.max() < n
+    capped = np.asarray(knn_pallas(xj, k, packed=True, cap=k, window=256,
+                                   interpret=True))
+    cagree = np.mean(np.sort(capped, -1) == np.sort(packed, -1))
+    assert cagree > 0.995, cagree  # near-tie order noise only
