@@ -75,6 +75,11 @@ class DGCNNConfig:
     # kernels/knn_pallas.py). 8 = measured bit-identical to flat packed
     # at production shapes.
     knn_cap: int = 8
+    # python-unroll the capped kernel's cap loop in TRAIN mode too
+    # (~1.5 ms faster per kNN, but ~10 min of one-time Mosaic compile
+    # inside the train program — worthwhile once the persistent
+    # compilation cache is warm for your config; eval always unrolls).
+    knn_train_unroll: bool = False
     fuse_epilogue: bool = False    # fused eval EdgeConv epilogue kernel
     # Training BN batch-stat reduction: "one_pass" fuses mean/var into a
     # single sweep of each (B,N,k,C) stage tensor (default; ~1e-6 numeric
@@ -210,7 +215,8 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False) -> jax.Array:
                 # (1) compiles in seconds. Inference is kNN-dominated
                 # (3×7.3 of 36 ms) -> unrolled; the train step is not
                 # (kNN ~9 of ~107 ms) -> fori. scripts/exp_capped_unroll.py
-                unroll_cap=1 if train else 0,
+                unroll_cap=(0 if (not train or cfg.knn_train_unroll)
+                            else 1),
             ),
             "pt",
         )
