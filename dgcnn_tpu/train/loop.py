@@ -82,6 +82,7 @@ def train(
     tb_dir: str = "tensorboard_logs",
     seed: int = 1,
     knn_impl: str = "auto",
+    knn_train_unroll: bool = False,
     compute_dtype: str | None = None,
     matmul_precision: str | None = None,
     data_parallel: bool = True,
@@ -104,6 +105,7 @@ def train(
         dropout=dropout,
         emb_dims=emb_dims,
         knn_impl=knn_impl,
+        knn_train_unroll=knn_train_unroll,
         compute_dtype=compute_dtype,
         matmul_precision=matmul_precision,
     )
@@ -305,5 +307,6 @@ def train_args(args, io: IOStream) -> dict:
         matmul_precision=getattr(args, "matmul_precision", None),
         remat=getattr(args, "remat", False),
         grad_accum=getattr(args, "grad_accum", 1),
+        knn_train_unroll=getattr(args, "knn_train_unroll", False),
         patience=getattr(args, "patience", None),
     )
