@@ -29,14 +29,13 @@ def log(*a):
     print(*a, flush=True)
 
 
-def make_x(seed=0):
-    rng = np.random.default_rng(seed)
-    x = rng.uniform(0, 30, (B, N, 3)).astype(np.float32)
-    x = np.stack([xi[np.argsort(xi[:, 0])] for xi in x])
-    x[..., 2] = rng.uniform(0, 5, (B, N))
-    feats = np.concatenate(
-        [x, rng.uniform(0, 5, (B, N, 1)).astype(np.float32)], -1)
-    return jnp.asarray(x), jnp.asarray(feats)
+def make_x(b=B, n=N, seed=0):
+    """Delegates to bench.make_blocks — ONE generator for bench and
+    experiment scripts (x-sorted 30 m LiDAR-like blocks)."""
+    from bench import make_blocks
+
+    blocks = make_blocks(b=b, n=n, seed=seed)
+    return jnp.asarray(blocks[..., :3].copy()), jnp.asarray(blocks)
 
 
 def main():

@@ -27,13 +27,13 @@ def log(*a):
     print(*a, flush=True)
 
 
-def make_x(b=B, n=N):
-    rng = np.random.default_rng(0)
-    x = rng.uniform(0, 30, (b, n, 3)).astype(np.float32)
-    x = np.stack([xi[np.argsort(xi[:, 0])] for xi in x])
-    x[..., 2] = rng.uniform(0, 5, (b, n))
-    feats = np.concatenate([x, rng.uniform(0, 5, (b, n, 1)).astype(np.float32)], -1)
-    return jnp.asarray(x), jnp.asarray(feats)
+def make_x(b=B, n=N, seed=0):
+    """Delegates to bench.make_blocks — ONE generator for bench and
+    experiment scripts (x-sorted 30 m LiDAR-like blocks)."""
+    from bench import make_blocks
+
+    blocks = make_blocks(b=b, n=n, seed=seed)
+    return jnp.asarray(blocks[..., :3].copy()), jnp.asarray(blocks)
 
 
 def main():
