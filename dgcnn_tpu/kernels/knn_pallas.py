@@ -231,14 +231,23 @@ def _knn_kernel_packed_capped(
             m_prev = m_prev + (t_max + int_min)
             win_scr[:, j : j + 1, :] = m_prev
     else:
-        def body(j, m_prev):
-            t = packed_scr[:] - (m_prev + int_min)
-            t_max = jnp.max(t, axis=1, keepdims=True)
-            m = m_prev + (t_max + int_min)
-            win_scr[:, pl.dslice(j, 1), :] = m
+        # Mosaic's fori supports unroll=1 or the full trip count only, so
+        # partial unrolling (the fori-vs-unrolled gap is ~175 us per loop
+        # iteration) is done by hand: ``u`` dependent extraction steps per
+        # body, stores at dslice(u*i + t).
+        u = unroll_cap if cap % unroll_cap == 0 else 1
+
+        def body(i, m_prev):
+            base = i * u
+            m = m_prev
+            for t_off in range(u):
+                t = packed_scr[:] - (m + int_min)
+                t_max = jnp.max(t, axis=1, keepdims=True)
+                m = m + (t_max + int_min)
+                win_scr[:, pl.dslice(base + t_off, 1), :] = m
             return m
 
-        jax.lax.fori_loop(0, cap, body, m0, unroll=unroll_cap)
+        jax.lax.fori_loop(0, cap // u, body, m0, unroll=False)
 
     # Merge: global top-k over the (n_win, cap, qt) winner keys — a
     # ~cap/window-width tile, so the k extraction steps are cheap. Same

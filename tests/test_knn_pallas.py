@@ -164,7 +164,7 @@ def test_capped_adversarial_modular_cluster(rng):
     assert set(flat[0, q, :4].tolist()) <= cluster_set
 
 
-@pytest.mark.parametrize("uc,um", [(0, 0), (1, 1), (0, 1)])
+@pytest.mark.parametrize("uc,um", [(0, 0), (1, 1), (0, 1), (2, 0), (4, 1)])
 def test_capped_unroll_variants_identical(uc, um, rng):
     """The capped kernel's loop-structure knobs (python-unrolled vs fori
     cap/merge loops — a compile-time/runtime trade, see
