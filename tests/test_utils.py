@@ -101,3 +101,27 @@ def test_iostream_stderr_keeps_stdout_clean(tmp_path, capsys):
     assert out == ""
     assert "diagnostic line" in err
     assert "diagnostic line" in open(path).read()
+
+
+def test_compilation_cache_enable_and_disable(tmp_path, monkeypatch):
+    """enable_persistent_compilation_cache points jax at the requested
+    dir (creating it), honours DGCNN_JAX_CACHE_DIR overrides, and an
+    empty env value disables it entirely."""
+    import jax
+
+    from dgcnn_tpu.utils.compilation_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    target = tmp_path / "jc"
+    monkeypatch.delenv("DGCNN_JAX_CACHE_DIR", raising=False)
+    got = enable_persistent_compilation_cache(str(target))
+    assert got == str(target) and target.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(target)
+
+    override = tmp_path / "other"
+    monkeypatch.setenv("DGCNN_JAX_CACHE_DIR", str(override))
+    assert enable_persistent_compilation_cache(str(target)) == str(override)
+
+    monkeypatch.setenv("DGCNN_JAX_CACHE_DIR", "")
+    assert enable_persistent_compilation_cache(str(target)) is None
