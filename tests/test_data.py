@@ -136,3 +136,21 @@ def test_collate_pad_and_truncate(rng):
     np.testing.assert_array_equal(p[1, 6:], np.broadcast_to(pts[1][0], (4, 3)))
     p2, l2, v2 = collate(pts, labels, mode="truncate")
     assert p2.shape == (2, 6, 3) and v2.all()
+
+
+def test_dataset_sort_points(tmp_path):
+    """sort_points=True (default) yields x-sorted samples — the TPU
+    gather-locality layout — drawing the SAME point set as
+    sort_points=False with the same rng stream; False restores the
+    reference's random sample order (/root/reference/data.py:146-163)."""
+    _write_rooms(tmp_path)
+    ds = FugroDataset("train", str(tmp_path), num_point=32, seed=3)
+    pts, labels, _ = ds[0]
+    assert np.all(np.diff(pts[:, 0]) >= 0)
+
+    raw = FugroDataset("train", str(tmp_path), num_point=32, seed=3,
+                       sort_points=False)
+    pts_r, labels_r, _ = raw[0]
+    # same sampled multiset, different order
+    key = lambda p, l: sorted(map(tuple, np.column_stack([p, l])))
+    assert key(pts, labels) == key(pts_r, labels_r)
