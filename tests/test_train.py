@@ -249,3 +249,17 @@ def test_grad_accum_requires_divisible_batch():
     state = init_train_state(jax.random.key(0), CFG, tx)
     with pytest.raises(ValueError, match="divisible"):
         step(state, pts, labels, mask)
+
+
+def test_grad_accum_composes_with_remat():
+    """grad accumulation must compose with selective rematerialisation
+    (the low-memory + large-effective-batch production combination)."""
+    cfg = DGCNNConfig(num_classes=4, num_features=3, k=6, emb_dims=32,
+                      knn_query_chunk=None, dropout=0.0)
+    tx = make_optimizer(lr=3e-3, scheduler="none")
+    step = make_train_step(cfg, tx, donate=False, grad_accum=2,
+                           remat="selective")
+    pts, labels, mask = _batch(7, b=4, n=48)
+    state = init_train_state(jax.random.key(0), cfg, tx)
+    state, metrics = step(state, pts, labels, mask)
+    assert np.isfinite(float(metrics["loss"]))
