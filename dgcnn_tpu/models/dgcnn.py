@@ -85,6 +85,12 @@ class DGCNNConfig:
     # single sweep of each (B,N,k,C) stage tensor (default; ~1e-6 numeric
     # delta), "two_pass" is the literal torch reduction order.
     bn_stats: str = "one_pass"
+    # PRNG for the dropout mask: "rbg" (default) uses the TPU's
+    # hardware RNG for the (B,N,256) Bernoulli mask — the default
+    # threefry stream costs ~4.7 ms of a ~90 ms train step (A/B: 86.8 vs
+    # 91.5 ms). Same Bernoulli distribution, different (still
+    # deterministic-per-key) stream; "threefry" restores the jax default.
+    dropout_rng_impl: str = "rbg"
     # XLA dot precision for every conv/matmul: None = backend default
     # (fast; ~1.5e-3 max prob drift vs the f32 CPU reference on v5e),
     # "highest" = full-f32 MXU passes (measured 1.0e-4 max drift, 100%
@@ -438,6 +444,11 @@ def _apply_dgcnn(
         if rng is None:
             raise ValueError("train=True dropout requires an rng key")
         keep = 1.0 - cfg.dropout
+        if cfg.dropout_rng_impl == "rbg":
+            data = jax.random.key_data(rng).reshape(-1)
+            rng = jax.random.wrap_key_data(
+                jnp.tile(data, 4)[:4].astype(jnp.uint32), impl="rbg"
+            )
         mask = jax.random.bernoulli(rng, keep, h.shape)
         h = jnp.where(mask, h / keep, 0.0)
 
