@@ -97,6 +97,30 @@ class DGCNNConfig:
     # argmax agreement, ~24% slower forward) — the TPU parity mode.
     matmul_precision: str | None = None
 
+    _KNN_IMPLS = ("xla", "approx", "pallas", "pallas_packed",
+                  "pallas_capped", "auto")
+    _BN_STATS = ("one_pass", "two_pass")
+    _DROPOUT_RNGS = ("rbg", "threefry")
+    _PRECISIONS = (None, "default", "high", "highest")
+
+    def __post_init__(self):
+        # free-form strings are compared with == at use sites; a typo must
+        # error here, not silently select the other behaviour
+        if self.knn_impl not in self._KNN_IMPLS:
+            raise ValueError(
+                f"knn_impl {self.knn_impl!r} not in {self._KNN_IMPLS}")
+        if self.bn_stats not in self._BN_STATS:
+            raise ValueError(
+                f"bn_stats {self.bn_stats!r} not in {self._BN_STATS}")
+        if self.dropout_rng_impl not in self._DROPOUT_RNGS:
+            raise ValueError(
+                f"dropout_rng_impl {self.dropout_rng_impl!r} "
+                f"not in {self._DROPOUT_RNGS}")
+        if self.matmul_precision not in self._PRECISIONS:
+            raise ValueError(
+                f"matmul_precision {self.matmul_precision!r} "
+                f"not in {self._PRECISIONS}")
+
     @property
     def _cdtype(self):
         return None if self.compute_dtype is None else jnp.dtype(self.compute_dtype)

@@ -80,10 +80,16 @@ def _gather_bwd(res, dy):
         # VMEM budget (breaks the serial RMW chain: 8 copies measured the
         # in-step optimum — train step 98.2/93.5/85.1 ms at 2/4/8 copies);
         # env overrides are perf-experiment knobs (scripts/exp_*.py)
-        copies = int(os.environ.get("DGCNN_SCATTER_COPIES", 8))
+        chunk = int(os.environ.get("DGCNN_SCATTER_CHUNK", 2048))
+        copies = max(int(os.environ.get("DGCNN_SCATTER_COPIES", 8)), 1)
+        # the kernel requires copies | chunk: round down to the largest
+        # power of two that divides chunk (scatter_add_rows would raise
+        # mid-training on a bad env value otherwise)
+        copies = 1 << (copies.bit_length() - 1)
+        while copies > 1 and chunk % copies:
+            copies //= 2
         while copies > 1 and copies * acc_bytes > 16 * 2**20:
             copies //= 2
-        chunk = int(os.environ.get("DGCNN_SCATTER_CHUNK", 2048))
         da = scatter_add_rows(
             dy.reshape(b, n * k, c), idx.reshape(b, n * k), n,
             copies=copies, chunk=chunk,
@@ -219,7 +225,11 @@ def _max_fwd(e):
     # fuses them into one sweep of the (B,N,k,C) tensor
     mx = jnp.max(e, axis=2)
     am = jnp.argmax(e, axis=2)                     # (B, N, C), first-max
-    return mx, (am.astype(jnp.int8), e.shape[2])
+    # int8 residual only while every k-slot index fits; beyond that the
+    # wrap would silently misroute gradients
+    k = e.shape[2]
+    am_dtype = jnp.int8 if k <= 127 else jnp.int32
+    return mx, (am.astype(am_dtype), k)
 
 
 def _max_bwd(res, g):

@@ -137,23 +137,30 @@ def _forward_local(params, state, x, cfg: DGCNNConfig):
     return _mm(h, params["conv9"]["w"], cfg._cdtype)
 
 
-def _batch_norm_train_sharded(x, p, s):
+def _batch_norm_train_sharded(x, p, s, *, one_pass: bool = True):
     """Training BatchNorm with batch statistics psum'd over the full mesh.
 
-    Matches the semantics of models.dgcnn._batch_norm one-pass mode
-    (var = E[x**2] - E[x]**2, biased var for normalisation, unbiased for
-    the running update) computed over the GLOBAL batch. One-pass here also
-    halves the collectives: sum(x) and sum(x**2) ride a single psum."""
+    Matches the semantics of models.dgcnn._batch_norm (biased var for
+    normalisation, unbiased for the running update) computed over the
+    GLOBAL batch. ``one_pass`` (cfg.bn_stats="one_pass", the default)
+    computes var = E[x**2] - E[x]**2 so sum(x) and sum(x**2) ride a single
+    psum; "two_pass" is the literal torch reduction order (mean first,
+    then E[(x-mean)**2]) at the cost of a second collective + sweep."""
     axes = tuple(range(x.ndim - 1))
     n_repl = 1
     for a in _BOTH:
         n_repl *= jax.lax.axis_size(a)
     count = (x.size // x.shape[-1]) * n_repl
-    sums = jax.lax.psum(
-        jnp.stack([jnp.sum(x, axis=axes),
-                   jnp.sum(jnp.square(x), axis=axes)]), _BOTH)
-    mean = sums[0] / count
-    var = jnp.maximum(sums[1] / count - jnp.square(mean), 0.0)
+    if one_pass:
+        sums = jax.lax.psum(
+            jnp.stack([jnp.sum(x, axis=axes),
+                       jnp.sum(jnp.square(x), axis=axes)]), _BOTH)
+        mean = sums[0] / count
+        var = jnp.maximum(sums[1] / count - jnp.square(mean), 0.0)
+    else:
+        mean = jax.lax.psum(jnp.sum(x, axis=axes), _BOTH) / count
+        var = jax.lax.psum(
+            jnp.sum(jnp.square(x - mean), axis=axes), _BOTH) / count
     unbiased = var * (count / max(count - 1, 1))
     new_s = {
         "mean": (1 - _BN_MOMENTUM) * s["mean"] + _BN_MOMENTUM * mean,
@@ -173,10 +180,13 @@ def _edge_stage_sharded_train(x, params, state, names, cfg):
     a = _mm(x, w_d, cfg._cdtype)
     bvec = _mm(x, w_x - w_d, cfg._cdtype)
     e = _ring_gather(a, idx) + bvec[:, :, None, :]
-    e, s_a = _batch_norm_train_sharded(e, params[bn_a], state[bn_a])
+    op = cfg.bn_stats == "one_pass"
+    e, s_a = _batch_norm_train_sharded(e, params[bn_a], state[bn_a],
+                                       one_pass=op)
     e = _lrelu(e)
     e = _mm(e, params[conv_b]["w"], cfg._cdtype)
-    e, s_b = _batch_norm_train_sharded(e, params[bn_b], state[bn_b])
+    e, s_b = _batch_norm_train_sharded(e, params[bn_b], state[bn_b],
+                                       one_pass=op)
     return jnp.max(_lrelu(e), axis=2), {bn_a: s_a, bn_b: s_b}
 
 
@@ -204,13 +214,15 @@ def _forward_local_train(params, state, x, rng, cfg: DGCNNConfig):
     a = _mm(x2, w_d, cfg._cdtype)
     bvec = _mm(x2, w_x - w_d, cfg._cdtype)
     e = _ring_gather(a, idx) + bvec[:, :, None, :]
-    e, s5 = _batch_norm_train_sharded(e, params["bn5"], state["bn5"])
+    op = cfg.bn_stats == "one_pass"
+    e, s5 = _batch_norm_train_sharded(e, params["bn5"], state["bn5"],
+                                      one_pass=op)
     x3 = jnp.max(_lrelu(e), axis=2)
     new_state["bn5"] = s5
 
     locals_ = jnp.concatenate([x1, x2, x3], axis=-1)
     emb = _mm(locals_, params["conv6"]["w"], cfg._cdtype)
-    emb, s6 = _batch_norm_train_sharded(emb, params["bn6"], state["bn6"])
+    emb, s6 = _batch_norm_train_sharded(emb, params["bn6"], state["bn6"], one_pass=op)
     emb = _lrelu(emb)
     new_state["bn6"] = s6
     # global max over the sharded point axis: all_gather (differentiable;
@@ -224,11 +236,11 @@ def _forward_local_train(params, state, x, rng, cfg: DGCNNConfig):
     )
     h = jnp.concatenate([g, x1, x2, x3], axis=-1)
     h = _mm(h, params["conv7"]["w"], cfg._cdtype)
-    h, s7 = _batch_norm_train_sharded(h, params["bn7"], state["bn7"])
+    h, s7 = _batch_norm_train_sharded(h, params["bn7"], state["bn7"], one_pass=op)
     h = _lrelu(h)
     new_state["bn7"] = s7
     h = _mm(h, params["conv8"]["w"], cfg._cdtype)
-    h, s8 = _batch_norm_train_sharded(h, params["bn8"], state["bn8"])
+    h, s8 = _batch_norm_train_sharded(h, params["bn8"], state["bn8"], one_pass=op)
     h = _lrelu(h)
     new_state["bn8"] = s8
 

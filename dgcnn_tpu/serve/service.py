@@ -73,12 +73,17 @@ class PredictService:
         if produced:
             os.replace(tmp, out_path)
         dt = time.time() - t0
+        # "points" = classified output points (what the user receives);
+        # block_points counts the padded/duplicated per-block rows the
+        # device actually processed (>= points)
+        n_pts = int(len(data))
         stats = {
             "input": os.path.abspath(in_path),
             "output": os.path.abspath(out_path) if produced else None,
-            "points": int(len(preds)),
+            "points": n_pts,
+            "block_points": int(len(preds)),
             "seconds": round(dt, 3),
-            "points_per_sec": round(len(preds) / dt, 1) if dt > 0 else None,
+            "points_per_sec": round(n_pts / dt, 1) if dt > 0 else None,
             "finished": time.time(),
         }
         self.processed += 1
@@ -152,6 +157,11 @@ def serve_directory(
             try:
                 stats = service.classify_file(src, out_las)
                 _atomic_json(sidecar, stats)
+                # only SUCCESSFUL tiles count toward done/max_tiles — a
+                # bounded run must not under-process its backlog because
+                # some tiles failed (failures are already isolated via the
+                # error sidecar and never retried)
+                done += 1
             except Exception as e:  # noqa: BLE001 — service must survive
                 service.failed += 1
                 _atomic_json(err_path, {
@@ -160,7 +170,6 @@ def serve_directory(
                     "time": time.time(),
                 })
                 service.io.cprint(f"FAILED {name}: {type(e).__name__}: {e}")
-            done += 1
             _atomic_json(os.path.join(out_dir, "status.json"),
                          service.status())
             if max_tiles is not None and done >= max_tiles:

@@ -138,3 +138,18 @@ def test_max_over_k_forward_and_grad(rng):
     g = jax.grad(lambda v: jnp.sum(max_over_k(v)))(t)
     np.testing.assert_array_equal(
         np.asarray(g)[0, 0, :, 0], np.float32([1, 0, 0, 0]))
+
+
+def test_max_over_k_wide_k_grad(rng):
+    """k > 127 must widen the argmax residual past int8 (a wrapped index
+    would silently route gradients to wrong k-slots)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgcnn_tpu.ops.edgeconv import max_over_k
+
+    e = jnp.asarray(rng.normal(size=(1, 3, 200, 2)).astype("float32"))
+    g = jax.grad(lambda t: jnp.sum(max_over_k(t) * 2.0))(e)
+    want = jax.grad(lambda t: jnp.sum(jnp.max(t, axis=2) * 2.0))(e)
+    # tie-free random data: first-argmax == split-gradient semantics
+    assert jnp.allclose(g, want)

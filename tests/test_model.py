@@ -210,3 +210,22 @@ def test_bn_one_pass_var_nonnegative():
     y, new_s = _batch_norm(x, p, s, train=True, one_pass=True)
     assert np.all(np.isfinite(np.asarray(y)))
     assert np.all(np.asarray(new_s["var"]) >= 0)
+
+
+def test_config_rejects_typo_strings():
+    """Free-form config strings must error at construction, not silently
+    select the other behaviour at use sites."""
+    import pytest
+
+    from dgcnn_tpu.models.dgcnn import DGCNNConfig
+
+    with pytest.raises(ValueError):
+        DGCNNConfig(bn_stats="one-pass")
+    with pytest.raises(ValueError):
+        DGCNNConfig(dropout_rng_impl="RBG")
+    with pytest.raises(ValueError):
+        DGCNNConfig(knn_impl="pallas_caped")
+    with pytest.raises(ValueError):
+        DGCNNConfig(matmul_precision="exact")
+    DGCNNConfig(bn_stats="two_pass", dropout_rng_impl="threefry",
+                knn_impl="pallas_capped", matmul_precision="highest")

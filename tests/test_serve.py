@@ -79,9 +79,11 @@ def test_serve_directory_isolates_failures(service, tmp_path):
     (in_dir / "corrupt.las").write_bytes(b"not a las file at all")
     _make_tile(in_dir / "good.las", seed=3)
 
+    # only the SUCCESSFUL tile counts toward the return value /
+    # max_tiles budget — failures must not consume the bounded-run quota
     n = serve_directory(service, str(in_dir), str(out_dir), once=True,
                         settle_s=0.0)
-    assert n == 2
+    assert n == 1
     assert (out_dir / "good.las").exists()
     err = json.loads(
         (out_dir / "failed" / "corrupt.error.json").read_text())
