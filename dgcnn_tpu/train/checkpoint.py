@@ -145,10 +145,6 @@ def _slices_to_json(idx: tuple, shape: tuple[int, ...]) -> list:
     return out
 
 
-def _json_to_slices(spans: list) -> tuple:
-    return tuple(slice(a, b) for a, b in spans)
-
-
 def save_checkpoint_sharded(path: str, state: Any, **metadata: float) -> None:
     """Save a (possibly sharded) pytree to directory ``path``.
 
@@ -232,36 +228,21 @@ def save_checkpoint_sharded(path: str, state: Any, **metadata: float) -> None:
         multihost_utils.sync_global_devices("dgcnn_ckpt_manifest_written")
 
 
-def load_checkpoint_sharded(path: str, like: Any) -> tuple[Any, dict]:
-    """Restore a pytree saved by :func:`save_checkpoint_sharded`.
+# Span accounting for the last load_checkpoint_sharded call: bytes of
+# shard data actually decompressed vs the global byte size of all leaves.
+# A scale-true restore on P processes loads ~global/P (+ replicated
+# leaves), NOT ~global per process; tests assert on this.
+LAST_RESTORE_STATS: dict[str, int] = {"loaded_bytes": 0, "global_bytes": 0}
 
-    Scans every ``shards_p*.npz`` present in the directory, reassembles
-    each leaf from the recorded global-index spans, verifies full coverage,
-    and places the result on the corresponding ``like`` leaf's sharding
-    (so a resumed run re-shards exactly as the template dictates — also
-    across a different process count, as long as the whole directory is
-    visible, e.g. on a shared filesystem). Raises FileNotFoundError /
-    ValueError on missing or incompatible checkpoints (try_resume relies
-    on this).
-    """
+
+def _scan_shard_indexes(path: str, want_nonce) -> dict[int, list]:
+    """First pass over ``shards_p*.npz``: read only each file's
+    ``__index__`` member. Returns leaf -> [(file, array_key, spans), ...].
+    Shard files from a different save nonce are rejected (stale files from
+    an earlier save with a different process count, or a crashed re-save —
+    mixed-epoch state must never load silently)."""
     import glob as _glob
 
-    man_path = os.path.join(path, "manifest.json")
-    if not os.path.exists(man_path):
-        raise FileNotFoundError(man_path)
-    with open(man_path) as f:
-        manifest = json.load(f)
-    flat, treedef = jax.tree_util.tree_flatten(like)
-    if len(flat) != len(manifest["leaves"]):
-        raise ValueError(
-            f"checkpoint has {len(manifest['leaves'])} leaves, "
-            f"expected {len(flat)}"
-        )
-    # collect (spans, data) per leaf from shard files carrying THIS save's
-    # nonce — stale files from an earlier save (different process count, or
-    # a crashed re-save) are rejected, and the coverage check below then
-    # refuses the incomplete checkpoint instead of silently mixing epochs
-    want_nonce = manifest.get("nonce")
     per_leaf: dict[int, list] = {}
     for fp in sorted(_glob.glob(os.path.join(path, "shards_p*.npz"))):
         with np.load(fp, allow_pickle=False) as z:
@@ -274,34 +255,152 @@ def load_checkpoint_sharded(path: str, like: Any) -> tuple[Any, dict]:
                 entries = idx
             for entry in entries:
                 per_leaf.setdefault(entry["leaf"], []).append(
-                    (entry["index"], z[entry["key"]])
+                    (fp, entry["key"], entry["index"])
                 )
+    return per_leaf
 
-    leaves_out = []
-    for i, (meta, want) in enumerate(zip(manifest["leaves"], flat)):
-        shape = tuple(meta["shape"])
-        want_raw = jax.random.key_data(want) if _is_prng_key(want) else want
-        if tuple(np.shape(want_raw)) != shape:
-            raise ValueError(
-                f"leaf {meta['name']}: checkpoint {shape} vs "
-                f"{np.shape(want_raw)}"
-            )
-        full = np.zeros(shape, dtype=np.dtype(meta["dtype"]))
-        covered = np.zeros(shape, dtype=bool)
-        for spans, data in per_leaf.get(i, ()):
-            sl = _json_to_slices(spans)
-            full[sl] = data
-            covered[sl] = True
-        if not covered.all():
-            raise ValueError(f"leaf {meta['name']}: missing shards "
-                             f"({covered.mean():.0%} covered)")
-        arr = jax.numpy.asarray(full)
-        sharding = getattr(want, "sharding", None)
-        if sharding is not None:
-            arr = jax.device_put(arr, sharding)
-        if meta["is_key"]:
-            arr = jax.random.wrap_key_data(arr)
-        leaves_out.append(arr)
+
+class _ShardReader:
+    """Lazily opens shard files and decompresses only requested members,
+    counting bytes (each member once)."""
+
+    def __init__(self):
+        self._files: dict[str, Any] = {}
+        self._cache: dict[tuple[str, str], np.ndarray] = {}
+        self.loaded_bytes = 0
+
+    def get(self, fp: str, key: str) -> np.ndarray:
+        ck = (fp, key)
+        if ck not in self._cache:
+            if fp not in self._files:
+                self._files[fp] = np.load(fp, allow_pickle=False)
+            data = self._files[fp][key]
+            self.loaded_bytes += data.nbytes
+            self._cache[ck] = data
+        return self._cache[ck]
+
+    def close(self):
+        for z in self._files.values():
+            z.close()
+
+
+def _assemble_region(
+    region: tuple, shape, dtype, entries, reader: _ShardReader, name: str
+) -> np.ndarray:
+    """Assemble the sub-array ``full[region]`` from the shard entries whose
+    recorded global spans intersect it; raises on incomplete coverage."""
+    rsl = tuple(
+        slice(0 if s.start is None else int(s.start),
+              dim if s.stop is None else int(s.stop))
+        for s, dim in zip(region, shape)
+    )
+    rshape = tuple(s.stop - s.start for s in rsl)
+    out = np.zeros(rshape, dtype)
+    covered = np.zeros(rshape, bool)
+    for fp, key, spans in entries:
+        # intersect this shard's global span with the requested region
+        dst, src, empty = [], [], False
+        for (a, b), r in zip(spans, rsl):
+            lo, hi = max(a, r.start), min(b, r.stop)
+            if lo >= hi:
+                empty = True
+                break
+            dst.append(slice(lo - r.start, hi - r.start))
+            src.append(slice(lo - a, hi - a))
+        if empty:
+            continue
+        data = reader.get(fp, key)
+        out[tuple(dst)] = data[tuple(src)]
+        covered[tuple(dst)] = True
+    if not covered.all():
+        raise ValueError(f"leaf {name}: missing shards "
+                         f"({covered.mean():.0%} of region covered)")
+    return out
+
+
+def load_checkpoint_sharded(path: str, like: Any) -> tuple[Any, dict]:
+    """Restore a pytree saved by :func:`save_checkpoint_sharded`.
+
+    Scans the ``__index__`` of every ``shards_p*.npz`` present, then loads
+    ONLY the global-span intersections this process's template shardings
+    actually need (a leaf sharded over P processes costs ~1/P of its bytes
+    per process, not the full array — the scale-true property an
+    Orbax-style layout exists for; replicated leaves still load whole).
+    Each assembled block is placed directly on its device via
+    ``jax.make_array_from_callback`` on the ``like`` leaf's sharding, so a
+    resumed run re-shards exactly as the template dictates — also across a
+    different process count, as long as the whole directory is visible
+    (shared filesystem). Raises FileNotFoundError / ValueError on missing
+    or incompatible checkpoints (try_resume relies on this).
+    """
+    man_path = os.path.join(path, "manifest.json")
+    if not os.path.exists(man_path):
+        raise FileNotFoundError(man_path)
+    with open(man_path) as f:
+        manifest = json.load(f)
+    flat, treedef = jax.tree_util.tree_flatten(like)
+    if len(flat) != len(manifest["leaves"]):
+        raise ValueError(
+            f"checkpoint has {len(manifest['leaves'])} leaves, "
+            f"expected {len(flat)}"
+        )
+    per_leaf = _scan_shard_indexes(path, manifest.get("nonce"))
+    reader = _ShardReader()
+    global_bytes = 0
+    try:
+        leaves_out = []
+        for i, (meta, want) in enumerate(zip(manifest["leaves"], flat)):
+            shape = tuple(meta["shape"])
+            dtype = np.dtype(meta["dtype"])
+            global_bytes += int(np.prod(shape, dtype=np.int64)) * dtype.itemsize
+            want_raw = (jax.random.key_data(want) if _is_prng_key(want)
+                        else want)
+            if tuple(np.shape(want_raw)) != shape:
+                raise ValueError(
+                    f"leaf {meta['name']}: checkpoint {shape} vs "
+                    f"{np.shape(want_raw)}"
+                )
+            entries = per_leaf.get(i, ())
+            sharding = getattr(want_raw, "sharding", None)
+            if sharding is None or meta["is_key"] or not shape:
+                # no template sharding to be lazy against (host arrays,
+                # PRNG keys, scalars): assemble whole. Placement still goes
+                # through make_array_from_callback — device_put cannot
+                # target multi-process (non-addressable) shardings.
+                full = _assemble_region(
+                    tuple(slice(None) for _ in shape), shape, dtype,
+                    entries, reader, meta["name"],
+                )
+                if sharding is not None:
+                    arr = jax.make_array_from_callback(
+                        shape, sharding, lambda idx, full=full: full[idx])
+                else:
+                    arr = jax.numpy.asarray(full)
+                if meta["is_key"]:
+                    arr = jax.random.wrap_key_data(arr)
+                leaves_out.append(arr)
+                continue
+
+            blocks: dict[tuple, np.ndarray] = {}
+
+            def _block(index, shape=shape, dtype=dtype, entries=entries,
+                       name=meta["name"], blocks=blocks):
+                key = tuple(
+                    (0 if s.start is None else int(s.start),
+                     dim if s.stop is None else int(s.stop))
+                    for s, dim in zip(index, shape)
+                )
+                if key not in blocks:  # replicated devices share one block
+                    blocks[key] = _assemble_region(
+                        index, shape, dtype, entries, reader, name)
+                return blocks[key]
+
+            arr = jax.make_array_from_callback(shape, sharding, _block)
+            leaves_out.append(arr)
+    finally:
+        reader.close()
+    LAST_RESTORE_STATS["loaded_bytes"] = reader.loaded_bytes
+    LAST_RESTORE_STATS["global_bytes"] = global_bytes
     return (jax.tree_util.tree_unflatten(treedef, leaves_out),
             manifest["metadata"])
 
@@ -309,41 +408,27 @@ def load_checkpoint_sharded(path: str, like: Any) -> tuple[Any, dict]:
 def _read_sharded_arrays(path: str) -> dict[str, np.ndarray]:
     """Reassemble every leaf of a sharded checkpoint directory into host
     numpy arrays keyed by recorded leaf name (nonce-validated, coverage-
-    checked) — the directory counterpart of reading all leaf_{i} arrays."""
-    import glob as _glob
-
+    checked) — the directory counterpart of reading all leaf_{i} arrays.
+    (Full assembly by contract — used by eval/predict which need whole
+    weights; the resume path uses the span-lazy loader above.)"""
     man_path = os.path.join(path, "manifest.json")
     if not os.path.exists(man_path):
         raise FileNotFoundError(man_path)
     with open(man_path) as f:
         manifest = json.load(f)
-    want_nonce = manifest.get("nonce")
-    per_leaf: dict[int, list] = {}
-    for fp in sorted(_glob.glob(os.path.join(path, "shards_p*.npz"))):
-        with np.load(fp, allow_pickle=False) as z:
-            idx = json.loads(str(z["__index__"]))
-            if isinstance(idx, dict):
-                if want_nonce is not None and idx.get("nonce") != want_nonce:
-                    continue
-                entries = idx["shards"]
-            else:
-                entries = idx
-            for entry in entries:
-                per_leaf.setdefault(entry["leaf"], []).append(
-                    (entry["index"], z[entry["key"]])
-                )
-    out = {}
-    for i, meta in enumerate(manifest["leaves"]):
-        shape = tuple(meta["shape"])
-        full = np.zeros(shape, dtype=np.dtype(meta["dtype"]))
-        covered = np.zeros(shape, dtype=bool)
-        for spans, data in per_leaf.get(i, ()):
-            sl = _json_to_slices(spans)
-            full[sl] = data
-            covered[sl] = True
-        if not covered.all():
-            raise ValueError(f"leaf {meta['name']}: missing shards")
-        out[meta["name"]] = full
+    per_leaf = _scan_shard_indexes(path, manifest.get("nonce"))
+    reader = _ShardReader()
+    try:
+        out = {}
+        for i, meta in enumerate(manifest["leaves"]):
+            shape = tuple(meta["shape"])
+            out[meta["name"]] = _assemble_region(
+                tuple(slice(None) for _ in shape), shape,
+                np.dtype(meta["dtype"]), per_leaf.get(i, ()), reader,
+                meta["name"],
+            )
+    finally:
+        reader.close()
     return out
 
 
