@@ -86,6 +86,7 @@ def train(
     compute_dtype: str | None = None,
     matmul_precision: str | None = None,
     data_parallel: bool = True,
+    tensor_parallel: int = 1,
     smoothing: bool = True,
     device_masks: bool = False,
     remat: "bool | str" = False,
@@ -143,7 +144,31 @@ def train(
     io.cprint(table)
 
     mesh = None
-    if data_parallel and len(jax.devices()) > 1:
+    tp = int(tensor_parallel)
+    if tp > 1:
+        # TP (annotation-only channel sharding of the conv6/bn6/conv7
+        # trunk, parallel/tensor_parallel.py) reuses the mesh's 'points'
+        # axis; batch rides 'data'. The optimizer state is re-initialised
+        # from the placed params so Adam moments inherit the shardings
+        # (zeros_like preserves placement) — resume below then restores
+        # onto exactly these shardings.
+        import dataclasses as _dc
+
+        from dgcnn_tpu.parallel.mesh import make_mesh, replicated_sharding
+        from dgcnn_tpu.parallel.tensor_parallel import shard_params_tp
+
+        n_dev = len(jax.devices())
+        if n_dev % tp:
+            raise ValueError(
+                f"tensor_parallel={tp} does not divide {n_dev} devices")
+        mesh = make_mesh(n_data=n_dev // tp, n_points=tp)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        p_tp, s_tp = shard_params_tp(state.params, state.bn_state, mesh)
+        state = _dc.replace(state, params=p_tp, bn_state=s_tp,
+                            opt_state=tx.init(p_tp))
+        io.cprint(f"tensor-parallel trunk over {tp} devices, "
+                  f"data-parallel over {n_dev // tp}")
+    elif data_parallel and len(jax.devices()) > 1:
         from dgcnn_tpu.parallel.mesh import make_mesh, replicated_sharding
 
         n_dev = len(jax.devices())
@@ -308,5 +333,6 @@ def train_args(args, io: IOStream) -> dict:
         remat=getattr(args, "remat", False),
         grad_accum=getattr(args, "grad_accum", 1),
         knn_train_unroll=getattr(args, "knn_train_unroll", False),
+        tensor_parallel=getattr(args, "tensor_parallel", 1),
         patience=getattr(args, "patience", None),
     )

@@ -109,6 +109,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "split this many ways and gradients accumulate in "
                         "a lax.scan — effective batches beyond the "
                         "single-program compile ceiling")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="shard the conv6/bn6/conv7 trunk channels over "
+                        "this many devices (Megatron column->row style, "
+                        "parallel/tensor_parallel.py); the remaining "
+                        "devices form the data axis. emb_dims and 192 "
+                        "must be divisible by it")
 
     # preprocessing
     p.add_argument("--base_dir", type=str, default=os.path.join(BASE_DIR, AREA))

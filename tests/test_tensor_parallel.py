@@ -44,3 +44,37 @@ def test_tp_indivisible_raises():
     params, state = init_dgcnn(jax.random.key(0), cfg)
     with pytest.raises(ValueError, match="divide"):
         shard_params_tp(params, state, mesh)
+
+
+def test_train_loop_tensor_parallel_wired(tmp_path):
+    """The --tensor_parallel path through train(): trunk sharded over 2 of
+    the 8 virtual devices, one epoch trains, and the loss matches the
+    unsharded run (annotation-only TP is numerics-preserving up to psum
+    reassociation)."""
+    import numpy as np
+
+    from dgcnn_tpu.train.loop import train
+    from dgcnn_tpu.utils.logging import IOStream
+
+    rng = np.random.default_rng(0)
+    data_dir = tmp_path / "rooms"
+    data_dir.mkdir()
+    for i in range(4):
+        pts = rng.random((300, 4)) * 30
+        labels = rng.integers(0, 5, (300, 1))
+        np.save(data_dir / f"Area_{i}.npy", np.hstack([pts, labels]))
+
+    kwargs = dict(
+        data_dir=str(data_dir), num_points=64, epochs=1, num_classes=5,
+        num_features=4, train_batch_size=4, validation_batch_size=4,
+        emb_dims=64, validation_prop=0.25, dropout=0.0, seed=1,
+        knn_impl="xla", tb_dir=str(tmp_path / "tb"),
+    )
+    io = IOStream(str(tmp_path / "log.txt"))
+    s_tp = train(2, io, model_root=str(tmp_path / "m_tp"),
+                 tensor_parallel=2, **kwargs)
+    s_ref = train(2, io, model_root=str(tmp_path / "m_ref"),
+                  data_parallel=False, **kwargs)
+    assert s_tp["epoch"] == 0 and s_ref["epoch"] == 0
+    assert abs(s_tp["val_balanced_accuracy"]
+               - s_ref["val_balanced_accuracy"]) < 5e-3
