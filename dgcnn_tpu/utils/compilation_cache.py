@@ -36,3 +36,50 @@ def enable_persistent_compilation_cache(cache_dir: str | None = None) -> str | N
     except Exception:
         return None
     return cache_dir
+
+
+# --------------------------------------------------------------------------
+# Warm markers: tiny files recording "this expensive compile has completed
+# on this machine". The python-unrolled capped-kNN train program costs
+# ~10 min of one-time Mosaic compile (then ~2 s via the persistent cache
+# above) but runs ~4.5 ms/step faster; knn_train_unroll="auto" picks the
+# unrolled kernel exactly when a marker proves the cache is warm for the
+# same program shape (an explicit --knn_train_unroll=1 run seeds it).
+
+
+def _warm_dir() -> str:
+    env = os.environ.get("DGCNN_JAX_CACHE_DIR")
+    base = env or os.path.join(
+        os.path.expanduser("~"), ".cache", "dgcnn_tpu", "jax"
+    )
+    return os.path.join(os.path.dirname(base.rstrip("/")) or base, "warm")
+
+
+def warm_key(tag: str, *parts) -> str:
+    """Stable key for a compiled-program shape: hash of every value that
+    changes the jitted train program's HLO (config fields, batch shape,
+    schedule constants, device kind)."""
+    import hashlib
+
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = "unknown"
+    blob = repr((tag, kind, parts)).encode()
+    return f"{tag}-{hashlib.sha1(blob).hexdigest()[:16]}"
+
+
+def is_warm(key: str) -> bool:
+    return os.path.exists(os.path.join(_warm_dir(), key))
+
+
+def mark_warm(key: str) -> None:
+    d = _warm_dir()
+    try:
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, key), "w") as f:
+            f.write("ok\n")
+    except OSError:
+        pass  # markers are an optimisation, never a failure

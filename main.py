@@ -100,10 +100,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "'selective' recomputes k-expanded stage tensors "
                         "(low memory, enables larger batches); 'full' is "
                         "jax.checkpoint nothing_saveable")
-    p.add_argument("--knn_train_unroll", type=str2bool, default=False,
+    p.add_argument("--knn_train_unroll", type=str, default="auto",
+                   choices=["auto", "0", "1", "false", "true"],
                    help="python-unroll the capped kNN kernel in the train "
                         "step too (~5% faster steps; ~10 min one-time "
-                        "compile, amortised by the persistent cache)")
+                        "compile, amortised by the persistent cache). "
+                        "'auto' unrolls exactly when a previous run of "
+                        "this config seeded the cache-warm marker")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="micro-batches per optimizer step: batch_size is "
                         "split this many ways and gradients accumulate in "

@@ -1,0 +1,294 @@
+#!/usr/bin/env python
+"""Experiment: Pallas forward-gather strategies vs the XLA gather.
+
+The forward's non-kNN floor is the EdgeConv neighbour gather + epilogue
+(~6 ms/stage at B=8, N=7000, k=30, C=64; VERDICT r2 "what's weak" #1).
+This measures, on the real chip:
+
+  1. xla          — jnp gather via flat global indices (the production path)
+  2. rowloop[U]   — Pallas: (N, C) table resident in VMEM, per-row dynamic
+                    sublane loads, python-unrolled by U for ILP
+  3. fused[U]     — same in-kernel gather + the full stage epilogue
+                    (+bvec, BN-affine, LReLU, (QT*k,C)x(C,C2) matmul,
+                    BN-affine, LReLU, max over k) in ONE kernel: the
+                    (B,N,k,C) tensor never touches HBM
+  4. epi-split    — XLA gather then the existing edgeconv_epilogue kernel
+                    (the fuse_epilogue=True path, for reference)
+
+Usage: python scripts/exp_gather_pallas.py [--iters 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from bench import make_blocks  # noqa: E402
+
+B, N, K, C, C2 = 8, 7000, 30, 64, 64
+_SLOPE = 0.2
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------- rowloop
+def _gather_kernel(idx_ref, table_ref, out_ref, *, rows, unroll):
+    def body(i, _):
+        base = i * unroll
+        for u in range(unroll):
+            t = idx_ref[0, 0, base + u]
+            out_ref[0, pl.dslice(base + u, 1), :] = table_ref[
+                0, pl.dslice(t, 1), :
+            ]
+        return 0
+
+    jax.lax.fori_loop(0, rows // unroll, body, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "unroll", "interpret"))
+def gather_rows_pallas(table, idx, *, chunk=3840, unroll=8, interpret=False):
+    """out[b, m] = table[b, idx[b, m]] — (B, M, C) from (B, N, C)."""
+    b, n, c = table.shape
+    m = idx.shape[1]
+    nchunk = -(-m // chunk)
+    pad = nchunk * chunk - m
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros((b, pad), idx.dtype)], 1)
+    n_pad = _round_up(n, 8)
+    if n_pad != n:
+        table = jnp.pad(table, ((0, 0), (0, n_pad - n), (0, 0)))
+    idx3 = idx.reshape(b * nchunk, 1, chunk).astype(jnp.int32)
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, rows=chunk, unroll=unroll),
+        grid=(b, nchunk),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk),
+                         lambda bb, cc, nchunk=nchunk: (bb * nchunk + cc, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_pad, c), lambda bb, cc: (bb, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, c), lambda bb, cc: (bb, cc, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nchunk * chunk, c), table.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(idx3, table)
+    return out[:, :m]
+
+
+# ------------------------------------------------------------------ fused
+def _fused_kernel(idx_ref, table_ref, b_ref, w2_ref, sa_ref, ta_ref,
+                  sb_ref, tb_ref, out_ref, g_scr, *, qt, k, unroll):
+    rows = qt * k
+
+    def body(i, _):
+        base = i * unroll
+        for u in range(unroll):
+            t = idx_ref[0, 0, base + u]
+            g_scr[pl.dslice(base + u, 1), :] = table_ref[
+                0, pl.dslice(t, 1), :
+            ]
+        return 0
+
+    jax.lax.fori_loop(0, rows // unroll, body, 0, unroll=False)
+
+    g = g_scr[:].reshape(qt, k, -1)
+    e = g + b_ref[0][:, None, :]
+    e = e * sa_ref[0][None, None, :] + ta_ref[0][None, None, :]
+    e = jnp.where(e >= 0, e, _SLOPE * e)
+    c = e.shape[-1]
+    h = jax.lax.dot_general(
+        e.reshape(rows, c), w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = h * sb_ref[0][None, :] + tb_ref[0][None, :]
+    h = jnp.where(h >= 0, h, _SLOPE * h)
+    out_ref[0] = jnp.max(h.reshape(qt, k, -1), axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("qt", "unroll", "interpret")
+)
+def fused_gather_epilogue(table, idx, bvec, w2, sa, ta, sb, tb,
+                          *, qt=128, unroll=8, interpret=False):
+    """max_k(act(BNb(W2 @ act(BNa(table[idx] + bvec))))) without ever
+    materialising (B, N, k, C) in HBM. idx: (B, N, k)."""
+    b, n, c = table.shape
+    k = idx.shape[-1]
+    c2 = w2.shape[1]
+    n_pad = _round_up(n, max(qt, 8))
+    if n_pad != n:
+        table = jnp.pad(table, ((0, 0), (0, n_pad - n), (0, 0)))
+        bvec = jnp.pad(bvec, ((0, 0), (0, n_pad - n), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, n_pad - n), (0, 0)))
+    nq = n_pad // qt
+    idx3 = idx.reshape(b * nq, 1, qt * k).astype(jnp.int32)
+
+    def row(v):
+        return v.reshape(1, -1).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, qt=qt, k=k, unroll=unroll),
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, qt * k),
+                         lambda bb, qq, nq=nq: (bb * nq + qq, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_pad, c), lambda bb, qq: (bb, 0, 0)),
+            pl.BlockSpec((1, qt, c), lambda bb, qq: (bb, qq, 0)),
+            pl.BlockSpec((c, c2), lambda bb, qq: (0, 0)),
+            pl.BlockSpec((1, c), lambda bb, qq: (0, 0)),
+            pl.BlockSpec((1, c), lambda bb, qq: (0, 0)),
+            pl.BlockSpec((1, c2), lambda bb, qq: (0, 0)),
+            pl.BlockSpec((1, c2), lambda bb, qq: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, qt, c2), lambda bb, qq: (bb, qq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((qt * k, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(idx3, table, bvec, w2, row(sa), row(ta), row(sb), row(tb))
+    return out[:, :n]
+
+
+# ------------------------------------------------------------------ bench
+def sync(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def timeit(fn, iters, rt):
+    sync(fn())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        sync(fn())
+    return (time.perf_counter() - t0) / iters - rt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    from dgcnn_tpu.utils.compilation_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(make_blocks())          # (B, N, 4) x-sorted
+    from dgcnn_tpu.kernels.knn_pallas import knn_pallas
+
+    idx = knn_pallas(x[..., :3], K, packed=True, cap=8)  # (B, N, K)
+    idx = jax.block_until_ready(idx)
+    table = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    bvec = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(C, C2)).astype(np.float32) * 0.1)
+    sa = jnp.ones((C,)) * 0.9
+    ta = jnp.zeros((C,)) + 0.05
+    sb = jnp.ones((C2,)) * 1.1
+    tb = jnp.zeros((C2,)) - 0.02
+
+    # round-trip
+    @jax.jit
+    def triv(a):
+        return jnp.sum(a)
+
+    a = jnp.ones((8, 128))
+    float(triv(a))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        float(triv(a))
+    rt = (time.perf_counter() - t0) / 10
+    log(f"round-trip {rt*1e3:.1f} ms")
+
+    flat_idx = idx.reshape(B, N * K)
+
+    # 1. XLA gather (production path)
+    from dgcnn_tpu.ops.edgeconv import gather_neighbors
+
+    t = timeit(lambda: gather_neighbors(table, idx), args.iters, rt)
+    log(f"xla gather:            {t*1e3:7.2f} ms")
+    want = np.asarray(gather_neighbors(table, idx))
+
+    # 2. rowloop variants
+    for unroll in (1, 4, 8, 16):
+        for chunk in (1920, 3840, 7680):
+            if chunk % unroll:
+                continue
+            try:
+                f = lambda: gather_rows_pallas(  # noqa: E731
+                    table, flat_idx, chunk=chunk, unroll=unroll)
+                t = timeit(f, args.iters, rt)
+                got = np.asarray(f()).reshape(B, N, K, C)
+                ok = np.array_equal(got, want)
+                log(f"rowloop u={unroll:2d} chunk={chunk}: {t*1e3:7.2f} ms "
+                    f"{'OK' if ok else 'MISMATCH'}")
+            except Exception as e:
+                log(f"rowloop u={unroll} chunk={chunk}: FAILED "
+                    f"{type(e).__name__}: {e}")
+
+    # reference epilogue output
+    def ref_epilogue():
+        g = gather_neighbors(table, idx)
+        e = g + bvec[:, :, None, :]
+        e = e * sa + ta
+        e = jnp.where(e >= 0, e, _SLOPE * e)
+        h = jnp.einsum("bnkc,cd->bnkd", e, w2,
+                       preferred_element_type=jnp.float32)
+        h = h * sb + tb
+        h = jnp.where(h >= 0, h, _SLOPE * h)
+        return jnp.max(h, axis=2)
+
+    ref_ep = jax.jit(ref_epilogue)
+    t = timeit(ref_ep, args.iters, rt)
+    log(f"xla gather+epilogue:   {t*1e3:7.2f} ms")
+    want_ep = np.asarray(ref_ep())
+
+    # 3. fused kernel
+    for unroll in (4, 8, 16):
+        for qt in (64, 128, 256):
+            try:
+                f = lambda: fused_gather_epilogue(  # noqa: E731
+                    table, idx, bvec, w2, sa, ta, sb, tb,
+                    qt=qt, unroll=unroll)
+                t = timeit(f, args.iters, rt)
+                got = np.asarray(f())
+                err = float(np.max(np.abs(got - want_ep)))
+                log(f"fused  u={unroll:2d} qt={qt:4d}:  {t*1e3:7.2f} ms "
+                    f"maxerr {err:.2e}")
+            except Exception as e:
+                log(f"fused  u={unroll} qt={qt}: FAILED "
+                    f"{type(e).__name__}: {e}")
+
+    # 4. split: XLA gather + existing epilogue kernel
+    from dgcnn_tpu.kernels.edgeconv_pallas import edgeconv_epilogue
+
+    def split():
+        g = gather_neighbors(table, idx)
+        return edgeconv_epilogue(g, bvec, w2, sa, ta, sb, tb)
+
+    t = timeit(jax.jit(split), args.iters, rt)
+    got = np.asarray(jax.jit(split)())
+    err = float(np.max(np.abs(got - want_ep)))
+    log(f"split gather+epi-krnl: {t*1e3:7.2f} ms maxerr {err:.2e}")
+
+
+if __name__ == "__main__":
+    main()

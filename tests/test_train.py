@@ -263,3 +263,47 @@ def test_grad_accum_composes_with_remat():
     state = init_train_state(jax.random.key(0), cfg, tx)
     state, metrics = step(state, pts, labels, mask)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_knn_train_unroll_auto_marker(tmp_path, monkeypatch):
+    """knn_train_unroll='auto' resolves from the cache-warm marker: an
+    explicit unrolled run seeds it after its first step; auto runs of the
+    SAME config then pick the unrolled kernel, other configs do not."""
+    import numpy as np
+
+    from dgcnn_tpu.train.loop import train
+    from dgcnn_tpu.utils import compilation_cache as cc
+    from dgcnn_tpu.utils.logging import IOStream
+
+    monkeypatch.setenv("DGCNN_JAX_CACHE_DIR", str(tmp_path / "jax"))
+    rng = np.random.default_rng(0)
+    data_dir = tmp_path / "rooms"
+    data_dir.mkdir()
+    for i in range(2):
+        pts = rng.random((200, 4)) * 30
+        labels = rng.integers(0, 5, (200, 1))
+        np.save(data_dir / f"Area_{i}.npy", np.hstack([pts, labels]))
+
+    kwargs = dict(
+        data_dir=str(data_dir), num_points=32, epochs=1, num_classes=5,
+        num_features=4, train_batch_size=2, validation_batch_size=2,
+        emb_dims=32, validation_prop=0.0, seed=1, knn_impl="xla",
+        tb_dir=str(tmp_path / "tb"), data_parallel=False,
+    )
+    io = IOStream(str(tmp_path / "log.txt"))
+
+    key = cc.warm_key("train-unroll", 2, 32, 5, 4, 32, 0.5, "xla", None,
+                      None, 2, 1, False, True, False, (), False, 0.001,
+                      0.9, "cos", 1)
+    assert not cc.is_warm(key)
+    train(2, io, model_root=str(tmp_path / "m1"),
+          knn_train_unroll="1", **kwargs)
+    assert cc.is_warm(key)           # explicit run seeded the marker
+    # a DIFFERENT config (other k) stays cold
+    other = cc.warm_key("train-unroll", 3, 32, 5, 4, 32, 0.5, "xla", None,
+                        None, 2, 1, False, True, False, (), False, 0.001,
+                        0.9, "cos", 1)
+    assert not cc.is_warm(other)
+    # and the auto run trains fine (resolves the marker internally)
+    train(2, io, model_root=str(tmp_path / "m2"),
+          knn_train_unroll="auto", **kwargs)
