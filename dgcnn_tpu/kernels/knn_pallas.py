@@ -63,7 +63,103 @@ def _default_query_tile(packed: bool) -> int:
     for prefix, tiles in _QUERY_TILE_TABLE.items():
         if kind.startswith(prefix):
             return tiles[0] if packed else tiles[1]
+    tuned = _autotuned_tiles()
+    if tuned is not None:
+        return tuned[0] if packed else tuned[1]
     return _DEFAULT_TILES[0] if packed else _DEFAULT_TILES[1]
+
+
+# -------------------------------------------------------------- autotune
+# Device generations absent from _QUERY_TILE_TABLE get a one-time
+# micro-sweep of the query-tile size (the kernels' only layout knob with
+# cross-generation sensitivity: it sets the resident score-tile height) at
+# the production shape, cached under ~/.cache/dgcnn_tpu/autotune keyed by
+# device_kind. Disable with DGCNN_KNN_AUTOTUNE=0 (falls back to v5e
+# constants, the round-2 behaviour).
+
+_TILE_CANDIDATES = (128, 256, 384, 512)
+_AUTOTUNED: "tuple[int, int] | None | bool" = False  # False = not resolved
+
+
+def _autotune_cache_path() -> str:
+    import os
+
+    kind = _device_kind() or "unknown"
+    base = os.environ.get("DGCNN_AUTOTUNE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "dgcnn_tpu", "autotune"
+    )
+    return os.path.join(base, kind.replace(" ", "_").replace("/", "_")
+                        + ".json")
+
+
+def _measure_tile(packed: bool, query_tile: int) -> float:
+    """Median seconds/call of the production-shape kernel at this tile."""
+    import time
+
+    x = jax.random.normal(jax.random.key(0), (2, 7000, 3), jnp.float32)
+    kw = dict(packed=True, cap=8, unroll_cap=1) if packed else {}
+
+    def call():
+        out = knn_pallas(x, 30, query_tile=query_tile, **kw)
+        return float(jnp.sum(out))
+
+    call()
+    trials = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        call()
+        trials.append(time.perf_counter() - t0)
+    return sorted(trials)[1]
+
+
+def _autotuned_tiles(measure=None) -> "tuple[int, int] | None":
+    """(packed_tile, f32_tile) for this device, from the autotune cache or
+    a fresh sweep; None when autotuning is off / not on TPU."""
+    global _AUTOTUNED
+    if _AUTOTUNED is not False and measure is None:
+        return _AUTOTUNED
+    import json
+    import os
+    import sys
+
+    path = _autotune_cache_path()
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+            _AUTOTUNED = (int(d["packed"]), int(d["f32"]))
+            return _AUTOTUNED
+        except Exception:
+            pass
+    if os.environ.get("DGCNN_KNN_AUTOTUNE", "1") != "1" or (
+        measure is None and jax.default_backend() != "tpu"
+    ):
+        _AUTOTUNED = None
+        return None
+    measure = measure or _measure_tile
+    print(f"dgcnn_tpu: autotuning kNN query tiles for "
+          f"{_device_kind() or 'unknown'} (one-time)", file=sys.stderr)
+    best = {}
+    for packed in (True, False):
+        times = {}
+        for qt in _TILE_CANDIDATES:
+            try:
+                times[qt] = measure(packed, qt)
+            except Exception:
+                continue
+        if not times:
+            _AUTOTUNED = None
+            return None
+        best["packed" if packed else "f32"] = min(times, key=times.get)
+    _AUTOTUNED = (best["packed"], best["f32"])
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"packed": best["packed"], "f32": best["f32"],
+                       "device_kind": _device_kind()}, f)
+    except OSError:
+        pass  # cache write is best-effort; the sweep result still applies
+    return _AUTOTUNED
 
 
 def _vmem_budget_bytes() -> int:

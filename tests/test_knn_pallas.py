@@ -236,3 +236,59 @@ def test_packed_recall_vs_exact_production_regime(rng):
         for i in range(0, n, 13)
     ])
     assert recall >= 0.995, recall
+
+
+def test_autotune_tiles_sweep_and_cache(tmp_path, monkeypatch):
+    """Unknown device generations micro-sweep the query tile and cache the
+    winner keyed by device_kind; a second resolve reads the cache without
+    re-measuring (kernels/knn_pallas.py autotune path)."""
+    from dgcnn_tpu.kernels import knn_pallas as kp
+
+    monkeypatch.setenv("DGCNN_AUTOTUNE_DIR", str(tmp_path))
+    monkeypatch.setattr(kp, "_device_kind", lambda: "TPU v99 test")
+    monkeypatch.setattr(kp, "_AUTOTUNED", False)
+
+    calls = []
+
+    def fake_measure(packed, qt):
+        calls.append((packed, qt))
+        # packed fastest at 512, f32 fastest at 128
+        return {True: {128: 9, 256: 8, 384: 7, 512: 5},
+                False: {128: 2, 256: 4, 384: 6, 512: 8}}[packed][qt]
+
+    got = kp._autotuned_tiles(measure=fake_measure)
+    assert got == (512, 128)
+    assert len(calls) == 8
+    import json
+    import os
+
+    path = kp._autotune_cache_path()
+    assert os.path.exists(path)
+    assert json.load(open(path))["packed"] == 512
+
+    # cache hit: no more measuring (even with the sentinel reset)
+    monkeypatch.setattr(kp, "_AUTOTUNED", False)
+    calls.clear()
+    got2 = kp._autotuned_tiles(measure=fake_measure)
+    assert got2 == (512, 128) and calls == []
+
+    # _default_query_tile resolves through the cache for unknown kinds
+    monkeypatch.setattr(kp, "_AUTOTUNED", False)
+    monkeypatch.delenv("DGCNN_KNN_QUERY_TILE", raising=False)
+    assert kp._default_query_tile(True) == 512
+    assert kp._default_query_tile(False) == 128
+
+    # known generations never consult autotune
+    monkeypatch.setattr(kp, "_device_kind", lambda: "TPU v5 lite")
+    assert kp._default_query_tile(True) == 384
+
+
+def test_autotune_disabled_falls_back(tmp_path, monkeypatch):
+    from dgcnn_tpu.kernels import knn_pallas as kp
+
+    monkeypatch.setenv("DGCNN_AUTOTUNE_DIR", str(tmp_path))
+    monkeypatch.setenv("DGCNN_KNN_AUTOTUNE", "0")
+    monkeypatch.setattr(kp, "_device_kind", lambda: "TPU v98 test")
+    monkeypatch.setattr(kp, "_AUTOTUNED", False)
+    assert kp._autotuned_tiles() is None
+    assert kp._default_query_tile(True) == kp._DEFAULT_TILES[0]
