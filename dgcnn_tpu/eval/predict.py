@@ -85,25 +85,35 @@ def predict(
         io.cprint("empty cloud — nothing to classify")
         return np.zeros((0, data.shape[1])), np.zeros((0,), np.int32)
 
-    dtm = build_dtm(data[:, :3], **(dtm_kwargs or {}))
-    agl = gen_agl(dtm, data[:, :3])
-    fcols = {k_.lower(): v for k_, v in features.items()}
-    if "agl" in fcols and fcols["agl"] < data.shape[1]:
-        data[:, fcols["agl"]] = agl
-    else:
-        data = np.hstack([data, agl[:, None]])
+    # Host-stage overlap: DTM+AGL run on a worker thread (the native
+    # dtmgen ctypes calls and the numpy fallbacks release the GIL) while
+    # the main thread computes the block ROW INDICES — window selection is
+    # xy-only, so it never reads the AGL column being filled
+    # (prepare/blocks.py::room2blocks(return_indices=True)). The profile
+    # that motivated this is flat (agl 0.10 / load 0.10 / blocks 0.10 /
+    # device 0.21 s at 400k pts): serialising these stages was the floor.
+    import threading
+
+    agl_box: dict = {}
+
+    def _dtm_agl():
+        dtm = build_dtm(data[:, :3], **(dtm_kwargs or {}))
+        agl_box["agl"] = gen_agl(dtm, data[:, :3])
+
+    th = threading.Thread(target=_dtm_agl)
+    th.start()
 
     rng = np.random.default_rng(seed)
     if classify_all:
-        ragged, _ = room2blocks(
+        ragged_idx = room2blocks(
             data, labels, num_points, block_size=block_size,
             stride=block_size, random_sample=False, use_all_points=True,
-            rng=rng,
+            rng=rng, return_indices=True,
         )
-        chunks, chunk_valid = [], []
-        for block in ragged:
-            order = rng.permutation(len(block))
-            for start in range(0, len(block), num_points):
+        chunk_idx, chunk_valid = [], []
+        for bidx in ragged_idx:
+            order = rng.permutation(len(bidx))
+            for start in range(0, len(bidx), num_points):
                 sel = order[start : start + num_points]
                 n_real = len(sel)
                 valid = np.zeros(num_points, bool)
@@ -114,46 +124,46 @@ def predict(
                 # x-sort the chunk (order is semantically free; sorted
                 # rows make the neighbour gathers spatially local —
                 # see FugroDataset.sort_points); valid mask rides along
-                perm = np.argsort(block[sel, 0], kind="stable")
-                chunks.append(block[sel[perm]])
+                cid = bidx[sel]
+                perm = np.argsort(data[cid, 0], kind="stable")
+                chunk_idx.append(cid[perm])
                 chunk_valid.append(valid[perm])
-        block_data = (
-            np.stack(chunks) if chunks
-            else np.zeros((0, num_points, data.shape[1]))
+        block_idx = (
+            np.stack(chunk_idx) if chunk_idx
+            else np.zeros((0, num_points), np.int64)
         )
     else:
         chunk_valid = None
-        block_data, _ = room2blocks(
+        block_idx = room2blocks(
             data, labels, num_points, block_size=block_size,
             stride=block_size, random_sample=False, use_all_points=False,
-            rng=rng,
+            rng=rng, return_indices=True,
         )
-        if len(block_data):
+        if len(block_idx):
             # x-sort each block's rows (see FugroDataset.sort_points)
-            block_data = np.stack([
-                blk[np.argsort(blk[:, 0], kind="stable")]
-                for blk in block_data
-            ])
-    n_blocks = len(block_data)
+            perm = np.argsort(data[:, 0][block_idx], axis=1, kind="stable")
+            block_idx = np.take_along_axis(block_idx, perm, axis=1)
+    n_blocks = len(block_idx)
     io.cprint(f"classifying {n_blocks} blocks of {num_points} points")
+    th.join()
     if n_blocks == 0:
         io.cprint("no blocks with enough points — nothing to classify")
         return np.zeros((0, data.shape[1])), np.zeros((0,), np.int32)
 
-    # shift every block to its local XY origin (test.py:298-301), batch them
-    shifts = np.zeros((n_blocks, data.shape[1]))
-    blocks = block_data.astype(np.float32).copy()
-    for i in range(n_blocks):
-        shifts[i, 0] = blocks[i, :, 0].min()
-        shifts[i, 1] = blocks[i, :, 1].min()
-        blocks[i, :, 0] -= shifts[i, 0]
-        blocks[i, :, 1] -= shifts[i, 1]
+    agl = agl_box["agl"]
+    fcols = {k_.lower(): v for k_, v in features.items()}
+    if "agl" in fcols and fcols["agl"] < data.shape[1]:
+        data[:, fcols["agl"]] = agl
+    else:
+        data = np.hstack([data, agl[:, None]])
 
     # dispatch batches asynchronously (JAX queues device work; pulling each
     # result immediately would serialise host<->device) but bound the
     # in-flight window: without a periodic sync, every batch's input buffer
     # stays resident on the device until the queue drains — unbounded
-    # growth on very large tiles
+    # growth on very large tiles. Per-batch block ASSEMBLY (gather rows +
+    # local-origin shift, test.py:298-301) happens inside this loop, so it
+    # overlaps the device compute of earlier batches.
     window = 8
     all_pred = np.zeros((n_blocks, num_points), np.int32)
     in_flight: list[tuple[int, object, int]] = []
@@ -164,7 +174,11 @@ def predict(
         all_pred[start : start + batch_size] = np.asarray(pred)[:nreal]
 
     for bi, start in enumerate(range(0, n_blocks, batch_size)):
-        chunk = blocks[start : start + batch_size]
+        chunk = data[block_idx[start : start + batch_size]].astype(
+            np.float32
+        )
+        chunk[:, :, 0] -= chunk[:, :, 0].min(axis=1, keepdims=True)
+        chunk[:, :, 1] -= chunk[:, :, 1].min(axis=1, keepdims=True)
         pad = batch_size - len(chunk)
         if pad:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
@@ -179,7 +193,7 @@ def predict(
     merged_pred = []
     for i in range(n_blocks):
         keep = chunk_valid[i] if chunk_valid is not None else slice(None)
-        pts = block_data[i][keep].astype(np.float64)
+        pts = data[block_idx[i]][keep].astype(np.float64)
         merged_pts.append(pts)
         merged_pred.append(all_pred[i][keep])
         if save_block_las:

@@ -1,17 +1,24 @@
-"""Fused EdgeConv epilogue kernel (eval mode).
+"""Fused EdgeConv stage kernels (eval mode) with IN-KERNEL neighbour gather.
 
-After the neighbour gather, stages 1-2 of DGCNN apply
-``max_k( act(BN_b( W2 @ act(BN_a( gathered + b )))))`` over the k-expanded
-(B, N, k, C) tensor (/root/reference/model.py:116-127 + max at :150).
-Unfused, XLA writes and re-reads that 458 MB (at B=8, N=7000, k=32, C=64)
-tensor between the element-wise chain, the matmul and the reduction. This
-kernel runs the whole epilogue on a VMEM-resident (QT, k, C) tile: one HBM
-read of the gathered features, one (QT·k, C)x(C, C2) MXU matmul, one HBM
-write of the (QT, C2) result.
+After kNN, stages 1-2 of DGCNN compute
+``max_k( act(BN_b( W2 @ act(BN_a( a[idx] + b )))))`` and stage 3
+``act(BN(select_by_sign(max_k/min_k of a[idx] + b)))``
+(/root/reference/model.py:116-130, :161-163 + the max at :150).
 
-Eval-only: BatchNorm is folded to per-channel scale/shift from running
+The unfused XLA path materialises the gathered (B, N, k, C) tensor
+(430 MB at B=8, N=7000, k=30, C=64) — the forward's non-kNN floor
+(measured 9.9 ms/stage for gather+epilogue on v5e). These kernels keep the
+whole (N, C) feature table resident in VMEM (1.8 MB at production shape),
+gather rows with unrolled dynamic sublane loads, and run the entire stage
+epilogue on the VMEM tile: per grid step ONE read of the table block
+index rows, one (QT·k, C)x(C, C2) MXU matmul, one (QT, C2) HBM write. The
+k-expanded tensor never exists in HBM. Measured 4.6-5.5 ms/stage (unroll 8,
+QT 64-128) — ~2x the XLA chain, bit-exact against it
+(scripts/exp_gather_pallas.py).
+
+Eval-only: BatchNorm folds to per-channel scale/shift from running
 statistics (training needs batch statistics over the full tensor and keeps
-the XLA path).
+the XLA path with the Pallas scatter backward).
 """
 
 from __future__ import annotations
@@ -30,80 +37,174 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _epilogue_kernel(a_ref, b_ref, w2_ref, sa_ref, ta_ref, sb_ref, tb_ref,
-                     out_ref, *, k: int):
-    a = a_ref[0]                     # (QT, k, C)
-    bvec = b_ref[0]                  # (QT, C)
-    qt, kk, c = a.shape
-    e = a + bvec[:, None, :]
+def _pick_unroll(rows: int, want: int) -> int:
+    for u in (want, 8, 4, 2, 1):
+        if rows % u == 0:
+            return u
+    return 1
+
+
+def _gather_to_scratch(idx_ref, table_ref, g_scr, rows, unroll):
+    """g_scr[r] = table[idx[r]] via unrolled dynamic sublane loads; the
+    unroll gives the VPU independent loads to pipeline (u=8 measured ~2.3x
+    u=1 on v5e)."""
+
+    def body(i, _):
+        base = i * unroll
+        for u in range(unroll):
+            t = idx_ref[0, 0, base + u]
+            g_scr[pl.dslice(base + u, 1), :] = table_ref[
+                0, pl.dslice(t, 1), :
+            ]
+        return 0
+
+    jax.lax.fori_loop(0, rows // unroll, body, 0, unroll=False)
+
+
+def _stage_kernel(idx_ref, table_ref, b_ref, w2_ref, sa_ref, ta_ref,
+                  sb_ref, tb_ref, out_ref, g_scr, *, qt, k, unroll):
+    rows = qt * k
+    _gather_to_scratch(idx_ref, table_ref, g_scr, rows, unroll)
+    g = g_scr[:].reshape(qt, k, -1)
+    e = g + b_ref[0][:, None, :]
     e = e * sa_ref[0][None, None, :] + ta_ref[0][None, None, :]
     e = jnp.where(e >= 0, e, _SLOPE * e)
+    c = e.shape[-1]
     h = jax.lax.dot_general(
-        e.reshape(qt * kk, c), w2_ref[:],
+        e.reshape(rows, c), w2_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                # (QT*k, C2)
+    )
     h = h * sb_ref[0][None, :] + tb_ref[0][None, :]
     h = jnp.where(h >= 0, h, _SLOPE * h)
-    out_ref[0] = jnp.max(h.reshape(qt, kk, -1), axis=1)
+    out_ref[0] = jnp.max(h.reshape(qt, k, -1), axis=1)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("query_tile", "interpret")
-)
-def edgeconv_epilogue(
-    a_gathered: jax.Array,   # (B, N, k, C) gathered first-conv activations
-    b: jax.Array,            # (B, N, C) centre-term broadcast add
+@functools.partial(jax.jit, static_argnames=("qt", "unroll", "interpret"))
+def edgeconv_fused_stage(
+    table: jax.Array,        # (B, N, C) first-conv point activations a=x@W_d
+    idx: jax.Array,          # (B, N, k) int32 neighbour indices
+    bvec: jax.Array,         # (B, N, C) centre term x@(W_x-W_d)
     w2: jax.Array,           # (C, C2) second conv weight
-    scale_a: jax.Array, shift_a: jax.Array,   # folded eval BN after conv1
-    scale_b: jax.Array, shift_b: jax.Array,   # folded eval BN after conv2
+    scale_a: jax.Array, shift_a: jax.Array,   # folded eval BN after conv a
+    scale_b: jax.Array, shift_b: jax.Array,   # folded eval BN after conv b
     *,
-    query_tile: int = 256,
+    qt: int = 64,
+    unroll: int = 8,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """max over k of act(BN_b(W2 @ act(BN_a(a_gathered + b)))) — (B, N, C2)."""
+    """max_k(act(BNb(W2 @ act(BNa(table[idx] + bvec))))) -> (B, N, C2),
+    gathering inside the kernel (the (B,N,k,C) tensor never hits HBM)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    bsz, n, k, c = a_gathered.shape
+    b, n, c = table.shape
+    k = idx.shape[-1]
     c2 = w2.shape[1]
-    qt = min(query_tile, n)
-    n_pad = _round_up(n, qt)
+    unroll = _pick_unroll(qt * k, unroll)
+    n_pad = _round_up(n, max(qt, 8))
     if n_pad != n:
-        a_gathered = jnp.pad(
-            a_gathered, ((0, 0), (0, n_pad - n), (0, 0), (0, 0))
-        )
-        b = jnp.pad(b, ((0, 0), (0, n_pad - n), (0, 0)))
+        table = jnp.pad(table, ((0, 0), (0, n_pad - n), (0, 0)))
+        bvec = jnp.pad(bvec, ((0, 0), (0, n_pad - n), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, n_pad - n), (0, 0)))
+    nq = n_pad // qt
+    idx3 = idx.reshape(b * nq, 1, qt * k).astype(jnp.int32)
 
     def row(v):
         return v.reshape(1, -1).astype(jnp.float32)
 
     out = pl.pallas_call(
-        functools.partial(_epilogue_kernel, k=k),
-        grid=(bsz, n_pad // qt),
+        functools.partial(_stage_kernel, qt=qt, k=k, unroll=unroll),
+        grid=(b, nq),
         in_specs=[
-            pl.BlockSpec((1, qt, k, c), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qt, c), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c2), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c2), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c2), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, qt * k),
+                         lambda bb, qq, nq=nq: (bb * nq + qq, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_pad, c), lambda bb, qq: (bb, 0, 0)),
+            pl.BlockSpec((1, qt, c), lambda bb, qq: (bb, qq, 0)),
+            pl.BlockSpec((c, c2), lambda bb, qq: (0, 0)),
+            pl.BlockSpec((1, c), lambda bb, qq: (0, 0)),
+            pl.BlockSpec((1, c), lambda bb, qq: (0, 0)),
+            pl.BlockSpec((1, c2), lambda bb, qq: (0, 0)),
+            pl.BlockSpec((1, c2), lambda bb, qq: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, qt, c2), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, n_pad, c2), jnp.float32),
+        out_specs=pl.BlockSpec((1, qt, c2), lambda bb, qq: (bb, qq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((qt * k, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(
-        a_gathered.astype(jnp.float32), b.astype(jnp.float32),
+        idx3, table.astype(jnp.float32), bvec.astype(jnp.float32),
         w2.astype(jnp.float32),
         row(scale_a), row(shift_a), row(scale_b), row(shift_b),
+    )
+    return out[:, :n]
+
+
+def _extrema_kernel(idx_ref, table_ref, b_ref, pos_ref, s_ref, t_ref,
+                    out_ref, g_scr, *, qt, k, unroll):
+    rows = qt * k
+    _gather_to_scratch(idx_ref, table_ref, g_scr, rows, unroll)
+    g = g_scr[:].reshape(qt, k, -1)
+    mx = jnp.max(g, axis=1) + b_ref[0]
+    mn = jnp.min(g, axis=1) + b_ref[0]
+    sel = jnp.where(pos_ref[0][None, :] > 0, mx, mn)
+    y = sel * s_ref[0][None, :] + t_ref[0][None, :]
+    out_ref[0] = jnp.where(y >= 0, y, _SLOPE * y)
+
+
+@functools.partial(jax.jit, static_argnames=("qt", "unroll", "interpret"))
+def edgeconv_fused_extrema(
+    table: jax.Array,        # (B, N, C) conv5 point activations a=x@W_d
+    idx: jax.Array,          # (B, N, k)
+    bvec: jax.Array,         # (B, N, C)
+    gamma: jax.Array,        # (C,) BN gamma — selects max vs min
+    scale: jax.Array, shift: jax.Array,       # folded eval BN
+    *,
+    qt: int = 64,
+    unroll: int = 8,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Stage-3 fused: act(BN(select_by_sign(gamma, max_k, min_k of
+    table[idx] + bvec))) -> (B, N, C). The max-through-BN monotonicity fold
+    (ops/edgeconv.py::edge_conv_linear_extrema) with the gather in VMEM."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, c = table.shape
+    k = idx.shape[-1]
+    unroll = _pick_unroll(qt * k, unroll)
+    n_pad = _round_up(n, max(qt, 8))
+    if n_pad != n:
+        table = jnp.pad(table, ((0, 0), (0, n_pad - n), (0, 0)))
+        bvec = jnp.pad(bvec, ((0, 0), (0, n_pad - n), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, n_pad - n), (0, 0)))
+    nq = n_pad // qt
+    idx3 = idx.reshape(b * nq, 1, qt * k).astype(jnp.int32)
+
+    def row(v):
+        return v.reshape(1, -1).astype(jnp.float32)
+
+    pos = (gamma >= 0).astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_extrema_kernel, qt=qt, k=k, unroll=unroll),
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, qt * k),
+                         lambda bb, qq, nq=nq: (bb * nq + qq, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_pad, c), lambda bb, qq: (bb, 0, 0)),
+            pl.BlockSpec((1, qt, c), lambda bb, qq: (bb, qq, 0)),
+            pl.BlockSpec((1, c), lambda bb, qq: (0, 0)),
+            pl.BlockSpec((1, c), lambda bb, qq: (0, 0)),
+            pl.BlockSpec((1, c), lambda bb, qq: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, qt, c), lambda bb, qq: (bb, qq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((qt * k, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(
+        idx3, table.astype(jnp.float32), bvec.astype(jnp.float32),
+        row(pos), row(scale), row(shift),
     )
     return out[:, :n]
 

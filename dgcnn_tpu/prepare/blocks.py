@@ -65,6 +65,7 @@ def room2blocks(
     use_all_points: bool = False,
     rng: np.random.Generator | None = None,
     min_points: int = MIN_BLOCK_POINTS,
+    return_indices: bool = False,
 ):
     """Tile a cloud into (sub)blocks.
 
@@ -76,6 +77,11 @@ def room2blocks(
     Returns:
         use_all_points=False: (B, num_point, F) array + (B, num_point) labels.
         use_all_points=True: two object arrays of ragged per-block data.
+        return_indices=True: the per-block ROW INDICES into ``data`` instead
+            of copies — (B, num_point) int array, or an object array of
+            ragged index arrays with use_all_points. Selection is xy-only,
+            so callers can compute indices while other per-point columns
+            (e.g. AGL) are still being filled in (eval/predict.py overlap).
     """
     if stride > block_size:
         raise ValueError("stride must be <= block_size")
@@ -106,20 +112,36 @@ def room2blocks(
             if len(sel) >= min_points:
                 origins.append((xbeg, ybeg))
 
-    blocks_d, blocks_l = [], []
+    blocks_d, blocks_l, blocks_i = [], [], []
     for xbeg, ybeg in origins:
         sel = index.window(xbeg, xbeg + block_size, ybeg, ybeg + block_size)
         if len(sel) < min_points:
             continue
-        bd, bl = data[sel], label[sel]
         if use_all_points:
-            blocks_d.append(bd)
-            blocks_l.append(bl)
+            if return_indices:
+                blocks_i.append(sel)
+            else:
+                blocks_d.append(data[sel])
+                blocks_l.append(label[sel])
         else:
-            sd, sl = sample_data_label(bd, bl, num_point, rng)
-            blocks_d.append(sd[None])
-            blocks_l.append(sl[None])
+            # draw the subsample on INDICES so the rng sequence is
+            # identical with and without return_indices
+            _, sub = sample_data(sel[:, None], num_point, rng)
+            if return_indices:
+                blocks_i.append(sel[sub][None])
+            else:
+                blocks_d.append(data[sel[sub]][None])
+                blocks_l.append(label[sel[sub]][None])
 
+    if return_indices:
+        if use_all_points:
+            oi = np.empty(len(blocks_i), object)
+            for i, v in enumerate(blocks_i):
+                oi[i] = v
+            return oi
+        if not blocks_i:
+            return np.zeros((0, num_point), np.int64)
+        return np.concatenate(blocks_i, 0)
     if not blocks_d:
         f = data.shape[1]
         if use_all_points:

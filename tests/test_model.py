@@ -229,3 +229,49 @@ def test_config_rejects_typo_strings():
         DGCNNConfig(matmul_precision="exact")
     DGCNNConfig(bn_stats="two_pass", dropout_rng_impl="threefry",
                 knn_impl="pallas_capped", matmul_precision="highest")
+
+
+def test_fused_epilogue_full_forward_parity():
+    """fuse_epilogue=True (in-kernel-gather Pallas stages, interpret mode
+    on CPU) must match the plain XLA eval forward — including a stage-3
+    negative-gamma channel (the max/min select) and non-identity running
+    BN statistics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dgcnn_tpu.models.dgcnn import DGCNNConfig, apply_dgcnn, init_dgcnn
+
+    base = dict(num_classes=5, num_features=4, k=6, emb_dims=32,
+                knn_query_chunk=None)
+    cfg_r = DGCNNConfig(fuse_epilogue=False, **base)
+    cfg_f = DGCNNConfig(fuse_epilogue=True, **base)
+    params, state = init_dgcnn(jax.random.key(0), cfg_r)
+    # negative gamma on some stage-3 channels + non-trivial running stats
+    params["bn5"]["gamma"] = params["bn5"]["gamma"].at[::3].set(-0.7)
+    rng = np.random.default_rng(1)
+    for bn in state:
+        state[bn] = {
+            "mean": jnp.asarray(
+                rng.normal(0, 0.2, state[bn]["mean"].shape), jnp.float32),
+            "var": jnp.asarray(
+                rng.random(state[bn]["var"].shape) + 0.5, jnp.float32),
+        }
+    x = jnp.asarray(rng.normal(size=(2, 50, 4)).astype(np.float32))
+    want, _ = apply_dgcnn(params, state, x, cfg_r, train=False)
+    got, _ = apply_dgcnn(params, state, x, cfg_f, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_fuse_epilogue_auto_resolution():
+    from dgcnn_tpu.models.dgcnn import DGCNNConfig
+
+    import pytest
+
+    # off-TPU auto resolves False; explicit True always wins
+    assert DGCNNConfig(fuse_epilogue="auto")._fuse_on is False
+    assert DGCNNConfig(fuse_epilogue=True)._fuse_on is True
+    assert DGCNNConfig(fuse_epilogue=False)._fuse_on is False
+    with pytest.raises(ValueError):
+        DGCNNConfig(fuse_epilogue="on")

@@ -151,3 +151,38 @@ def test_load_pointcloud_bad_extension(tmp_path):
     p.write_text("")
     with pytest.raises(ValueError, match="Unsupported"):
         load_pointcloud(str(p), features={"x": 0, "y": 1, "z": 2})
+
+
+def test_room2blocks_return_indices_matches_copies():
+    """return_indices=True must select exactly the rows of the copy path
+    (identical rng draw sequence) in both grid and all-points modes."""
+    import numpy as np
+
+    from dgcnn_tpu.prepare.blocks import room2blocks
+
+    rng_pts = np.random.default_rng(3)
+    data = np.column_stack([
+        rng_pts.random(30000) * 70, rng_pts.random(30000) * 70,
+        rng_pts.random(30000) * 5, rng_pts.random(30000),
+    ])
+    labels = rng_pts.integers(0, 5, 30000)
+
+    kw = dict(block_size=30.0, stride=30.0, random_sample=False,
+              min_points=500)
+    want_d, want_l = room2blocks(
+        data, labels, 256, rng=np.random.default_rng(0), **kw)
+    idx = room2blocks(
+        data, labels, 256, rng=np.random.default_rng(0),
+        return_indices=True, **kw)
+    np.testing.assert_array_equal(data[idx], want_d)
+    np.testing.assert_array_equal(labels[idx], want_l)
+
+    want_od, _ = room2blocks(
+        data, labels, 256, rng=np.random.default_rng(0),
+        use_all_points=True, **kw)
+    oidx = room2blocks(
+        data, labels, 256, rng=np.random.default_rng(0),
+        use_all_points=True, return_indices=True, **kw)
+    assert len(oidx) == len(want_od)
+    for bi, bd in zip(oidx, want_od):
+        np.testing.assert_array_equal(data[bi], bd)
