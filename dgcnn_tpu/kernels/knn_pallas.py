@@ -93,10 +93,13 @@ def _autotune_cache_path() -> str:
 
 
 def _measure_tile(packed: bool, query_tile: int) -> float:
-    """Median seconds/call of the production-shape kernel at this tile."""
+    """Median seconds/call of the production-shape kernel at this tile.
+    C=64 is the stage-2/3 feature width — the WIDEST production input, so
+    a tile that compiles and wins here is VMEM-safe for every stage (a
+    C=3 sweep once picked a tile that OOM'd scoped VMEM at C=64)."""
     import time
 
-    x = jax.random.normal(jax.random.key(0), (2, 7000, 3), jnp.float32)
+    x = jax.random.normal(jax.random.key(0), (2, 7000, 64), jnp.float32)
     kw = dict(packed=True, cap=8, unroll_cap=1) if packed else {}
 
     def call():
@@ -705,6 +708,13 @@ def _knn_pallas_jit(
             pltpu.VMEM((qt, n_pad), scratch_dtype),
             pltpu.VMEM((qt, idx_scr_cols), jnp.int32),
         ],
+        # the resident score tile + pipelined (N_pad, C) input blocks can
+        # exceed Mosaic's default scoped-VMEM window at production shapes
+        # (observed at qt=384, C=64 alongside the fused stage kernels);
+        # v5e has 128 MiB VMEM per core
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+        ),
         interpret=interpret,
     )(xp, qp, cnorm[:, None, :])
     return out[:, :n, :k]

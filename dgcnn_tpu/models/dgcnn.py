@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
 from dgcnn_tpu.ops.edgeconv import (
+    bn_lrelu_max_train,
     edge_conv_linear,
     edge_conv_linear_extrema,
     max_over_k,
@@ -90,6 +91,12 @@ class DGCNNConfig:
     # single sweep of each (B,N,k,C) stage tensor (default; ~1e-6 numeric
     # delta), "two_pass" is the literal torch reduction order.
     bn_stats: str = "one_pass"
+    # Fused custom-VJP stage tail max_k(lrelu(BN_train(e))) in TRAINING:
+    # the backward touches each (B,N,k,C) stage tensor exactly twice
+    # (ops/edgeconv.py::bn_lrelu_max_train) instead of the stock autodiff
+    # chain's several sweeps. Forward math identical to one-pass BN;
+    # requires bn_stats="one_pass" (ignored under "two_pass").
+    stage_tail_fused: bool = True
     # PRNG for the dropout mask: "rbg" (default) uses the TPU's
     # hardware RNG for the (B,N,256) Bernoulli mask — the default
     # threefry stream costs ~4.7 ms of a ~90 ms train step (A/B: 86.8 vs
@@ -233,6 +240,16 @@ def _lrelu(x: jax.Array) -> jax.Array:
     return jnp.where(x >= 0, x, _LRELU_SLOPE * x)
 
 
+def _bn_running_update(s: BNState, mean, var, count: int) -> BNState:
+    """Running-statistics update from batch stats (torch semantics: the
+    running var gets the UNBIASED batch variance)."""
+    unbiased = var * (count / max(count - 1, 1))
+    return {
+        "mean": (1 - _BN_MOMENTUM) * s["mean"] + _BN_MOMENTUM * mean,
+        "var": (1 - _BN_MOMENTUM) * s["var"] + _BN_MOMENTUM * unbiased,
+    }
+
+
 def _mm(x: jax.Array, w: jax.Array, cdtype) -> jax.Array:
     """Pointwise (1×1) conv as a channels-last matmul."""
     if cdtype is not None:
@@ -320,6 +337,13 @@ def _edge_stage_two_conv(
                          one_pass=cfg.bn_stats == "one_pass")
     e = _lrelu(e)
     e = _mm(e, params[conv_b]["w"], cd)
+    if train and cfg.stage_tail_fused and cfg.bn_stats == "one_pass":
+        mx, bmean, bvar = bn_lrelu_max_train(
+            e, params[bn_b]["gamma"], params[bn_b]["beta"]
+        )
+        s_b = _bn_running_update(state[bn_b], bmean, bvar,
+                                 e.size // e.shape[-1])
+        return checkpoint_name(mx, "pt"), {bn_a: s_a, bn_b: s_b}
     e, s_b = _batch_norm(e, params[bn_b], state[bn_b], train=train,
                          one_pass=cfg.bn_stats == "one_pass")
     e = _lrelu(e)
@@ -339,6 +363,13 @@ def _edge_stage_single_conv(
     idx = _knn(x, cfg, train=train)
     if train:
         e = edge_conv_linear(x, idx, params["conv5"]["w"], compute_dtype=cd)
+        if cfg.stage_tail_fused and cfg.bn_stats == "one_pass":
+            mx, bmean, bvar = bn_lrelu_max_train(
+                e, params["bn5"]["gamma"], params["bn5"]["beta"]
+            )
+            s5 = _bn_running_update(state["bn5"], bmean, bvar,
+                                    e.size // e.shape[-1])
+            return checkpoint_name(mx, "pt"), {"bn5": s5}
         e, s5 = _batch_norm(e, params["bn5"], state["bn5"], train=True,
                             one_pass=cfg.bn_stats == "one_pass")
         return checkpoint_name(max_over_k(_lrelu(e)), "pt"), {"bn5": s5}

@@ -20,8 +20,18 @@ import jax.numpy as jnp
 
 
 def _gather_impl(feats: jax.Array, idx: jax.Array) -> jax.Array:
+    import os
+
     b, n, c = feats.shape
     k = idx.shape[-1]
+    if (
+        os.environ.get("DGCNN_GATHER_IMPL", "xla") == "pallas"
+        and jax.default_backend() == "tpu"
+        and feats.dtype == jnp.float32
+    ):
+        from dgcnn_tpu.kernels.gather_pallas import gather_rows
+
+        return gather_rows(feats, idx.reshape(b, n * k)).reshape(b, n, k, c)
     table = feats.reshape(b * n, c)
     gidx = idx + (jnp.arange(b, dtype=idx.dtype) * n)[:, None, None]
     return table[gidx.reshape(-1)].reshape(b, n, k, c)
@@ -198,6 +208,92 @@ def edge_conv_linear_extrema(
     b = jnp.einsum("bnc,cd->bnd", xm, w_cm, preferred_element_type=jnp.float32)
     nbr = gather_neighbors(a, idx)                 # (B, N, k, C_out)
     return jnp.max(nbr, axis=2) + b, jnp.min(nbr, axis=2) + b
+
+
+def bn_lrelu_max_train(
+    e: jax.Array, gamma: jax.Array, beta: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused training-mode stage tail: ``max_k(lrelu(BN_train(e)))``.
+
+    Forward is mathematically identical to one-pass ``_batch_norm`` +
+    LeakyReLU(0.2) + :func:`max_over_k`; returns ``(out, batch_mean,
+    batch_var_biased)`` so the caller updates running statistics.
+
+    The win is the BACKWARD: the stock autodiff chain sweeps the
+    (B, N, k, C) stage tensor several times (scatter the max cotangent,
+    LReLU mask, two BN reduction sums, the final dx elementwise). Because
+    the max routes the cotangent to ONE k-slot per (b, n, c), both BN sums
+    collapse to (B, N, C)-sized reductions:
+
+        dy      = 1{k = argmax} * g'             (g' = g * lrelu'(out))
+        S1[c]   = sum dy        = sum_{b,n} g'
+        S2[c]   = sum dy * xhat = sum_{b,n} g' * xhat_at_argmax
+
+    with ``xhat_at_argmax`` recovered from ``out`` itself (lrelu and the
+    BN affine are invertible per channel). The big tensor is then touched
+    exactly twice — one read of ``e`` (for xhat), one write of ``de``:
+
+        de = gamma * inv * (dy - (S1 + xhat * S2) / M)
+
+    Torch-parity notes: first-argmax tie routing (matching
+    :func:`max_over_k`); when a channel's gamma is EXACTLY 0, dgamma for
+    that channel is returned as 0 instead of sum(dy*xhat) (xhat is
+    unrecoverable from out) — unreachable from torch init in practice.
+    """
+    return _bn_lrelu_max(e, gamma, beta)
+
+
+@jax.custom_vjp
+def _bn_lrelu_max(e, gamma, beta):
+    out, _ = _bn_lrelu_max_fwd(e, gamma, beta)
+    return out
+
+
+def _bn_lrelu_max_fwd(e, gamma, beta):
+    eps = 1e-5
+    slope = 0.2
+    axes = tuple(range(e.ndim - 1))
+    mean = jnp.mean(e, axis=axes)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(e), axis=axes) - jnp.square(mean), 0.0
+    )
+    inv = jax.lax.rsqrt(var + eps)
+    y = (e - mean) * (inv * gamma) + beta
+    z = jnp.where(y >= 0, y, slope * y)
+    mx = jnp.max(z, axis=2)
+    am = jnp.argmax(z, axis=2)          # first-max (lrelu is monotone)
+    k = e.shape[2]
+    am_dtype = jnp.int8 if k <= 127 else jnp.int32
+    res = (e, gamma, beta, mean, inv, am.astype(am_dtype), mx)
+    return (mx, mean, var), res
+
+
+def _bn_lrelu_max_bwd(res, cot):
+    g = cot[0]                          # mean/var outputs carry no loss
+    e, gamma, beta, mean, inv, am, mx = res
+    slope = 0.2
+    k = e.shape[2]
+    m_count = e.size // e.shape[-1]
+    gp = jnp.where(mx >= 0, g, slope * g)                  # (B, N, C)
+    ystar = jnp.where(mx >= 0, mx, mx / slope)
+    safe = jnp.abs(gamma) > 0
+    xstar = jnp.where(
+        safe, (ystar - beta) / jnp.where(safe, gamma, 1.0), 0.0
+    )
+    s1 = jnp.sum(gp, axis=(0, 1))
+    s2 = jnp.sum(gp * xstar, axis=(0, 1))
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k, 1), 2)
+    dy = jnp.where(
+        k_iota == am[:, :, None, :].astype(jnp.int32),
+        gp[:, :, None, :],
+        0.0,
+    )
+    xhat = (e - mean) * inv
+    de = (gamma * inv) * (dy - (s1 + xhat * s2) * (1.0 / m_count))
+    return de, s2, s1
+
+
+_bn_lrelu_max.defvjp(_bn_lrelu_max_fwd, _bn_lrelu_max_bwd)
 
 
 def max_over_k(e: jax.Array) -> jax.Array:

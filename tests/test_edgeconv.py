@@ -153,3 +153,132 @@ def test_max_over_k_wide_k_grad(rng):
     want = jax.grad(lambda t: jnp.sum(jnp.max(t, axis=2) * 2.0))(e)
     # tie-free random data: first-argmax == split-gradient semantics
     assert jnp.allclose(g, want)
+
+
+def test_gather_rows_pallas_interpret(rng):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dgcnn_tpu.kernels.gather_pallas import gather_rows
+
+    table = jnp.asarray(rng.normal(size=(3, 37, 8)).astype("float32"))
+    idx = jnp.asarray(rng.integers(0, 37, (3, 101)).astype("int32"))
+    got = np.asarray(gather_rows(table, idx, chunk=32, unroll=8,
+                                 interpret=True))
+    want = np.stack([np.asarray(table)[b][np.asarray(idx)[b]]
+                     for b in range(3)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bn_lrelu_max_train_forward_and_grad_parity(rng):
+    """The fused stage tail must match the decomposed one-pass
+    BN->LReLU->max chain in value AND gradients (e, gamma, beta) on
+    tie-free data."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dgcnn_tpu.ops.edgeconv import bn_lrelu_max_train
+
+    e = jnp.asarray(rng.normal(size=(2, 17, 9, 6)).astype("float32")) * 2.0
+    gamma = jnp.asarray(rng.normal(size=(6,)).astype("float32")) + 0.5
+    beta = jnp.asarray(rng.normal(size=(6,)).astype("float32"))
+
+    def ref(e, gamma, beta):
+        axes = (0, 1, 2)
+        mean = jnp.mean(e, axis=axes)
+        var = jnp.maximum(
+            jnp.mean(jnp.square(e), axis=axes) - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + 1e-5)
+        y = (e - mean) * (inv * gamma) + beta
+        z = jnp.where(y >= 0, y, 0.2 * y)
+        return jnp.max(z, axis=2), mean, var
+
+    want_out, want_mean, want_var = ref(e, gamma, beta)
+    got_out, got_mean, got_var = bn_lrelu_max_train(e, gamma, beta)
+    np.testing.assert_allclose(got_out, want_out, atol=1e-6)
+    np.testing.assert_allclose(got_mean, want_mean, atol=1e-6)
+    np.testing.assert_allclose(got_var, want_var, atol=1e-6)
+
+    w = jnp.asarray(rng.normal(size=want_out.shape).astype("float32"))
+
+    def loss_ref(e, gamma, beta):
+        return jnp.sum(ref(e, gamma, beta)[0] * w)
+
+    def loss_fused(e, gamma, beta):
+        return jnp.sum(bn_lrelu_max_train(e, gamma, beta)[0] * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(e, gamma, beta)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(e, gamma, beta)
+    for a, b, name in zip(g_fused, g_ref, ("de", "dgamma", "dbeta")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4,
+            err_msg=name)
+
+
+def test_bn_lrelu_max_negative_gamma_and_wide_k(rng):
+    """Negative gamma (lrelu inversion + xhat recovery through a negative
+    affine) and k > 127 (int32 argmax residual) both stay grad-exact."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dgcnn_tpu.ops.edgeconv import bn_lrelu_max_train
+
+    e = jnp.asarray(rng.normal(size=(1, 5, 140, 3)).astype("float32"))
+    gamma = jnp.asarray([-1.2, 0.7, -0.3], jnp.float32)
+    beta = jnp.asarray([0.1, -0.4, 0.0], jnp.float32)
+
+    def ref(e):
+        axes = (0, 1, 2)
+        mean = jnp.mean(e, axis=axes)
+        var = jnp.maximum(
+            jnp.mean(jnp.square(e), axis=axes) - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + 1e-5)
+        y = (e - mean) * (inv * gamma) + beta
+        z = jnp.where(y >= 0, y, 0.2 * y)
+        return jnp.sum(jnp.max(z, axis=2) ** 2)
+
+    got = jax.grad(lambda t: jnp.sum(
+        bn_lrelu_max_train(t, gamma, beta)[0] ** 2))(e)
+    want = jax.grad(ref)(e)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_train_step_fused_tail_matches_plain(rng):
+    """One full train step with stage_tail_fused on/off: identical loss
+    and near-identical parameter updates (same math, different backward
+    association)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dgcnn_tpu.models.dgcnn import DGCNNConfig
+    from dgcnn_tpu.train.steps import (
+        init_train_state, make_optimizer, make_train_step,
+    )
+
+    base = dict(num_classes=4, num_features=3, k=6, emb_dims=32,
+                dropout=0.0, knn_query_chunk=None)
+    pts = jnp.asarray(rng.normal(size=(2, 40, 3)).astype("float32"))
+    labels = jnp.asarray(rng.integers(0, 4, (2, 40)).astype("int32"))
+    mask = jnp.ones((2, 40), jnp.float32)
+
+    outs = {}
+    for fused in (True, False):
+        cfg = DGCNNConfig(stage_tail_fused=fused, **base)
+        tx = make_optimizer(use_sgd=True, lr=1e-4, epochs=2,
+                            steps_per_epoch=1)
+        st = init_train_state(jax.random.key(0), cfg, tx)
+        st, m = make_train_step(cfg, tx, donate=False)(st, pts, labels, mask)
+        outs[fused] = (float(m["loss"]), st)
+    assert abs(outs[True][0] - outs[False][0]) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(outs[True][1].params),
+                    jax.tree_util.tree_leaves(outs[False][1].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[True][1].bn_state),
+                    jax.tree_util.tree_leaves(outs[False][1].bn_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
