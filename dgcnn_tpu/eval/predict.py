@@ -26,6 +26,46 @@ from dgcnn_tpu.utils.logging import IOStream
 UNCLASSIFIED = 31
 
 
+def _classify_whole_sharded(
+    params, bn_state, cfg, data, num_features, point_shards,
+    min_class_confidence,
+):
+    """One whole-cloud forward with the point axis sharded over
+    ``point_shards`` devices (ring kNN, parallel/sharded_model.py) —
+    sequence parallelism replacing the reference's 30 m tiling cap.
+    Returns (M,) int32 predictions with the reference's confidence
+    thresholding (/root/reference/test.py:15, :122-127)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgcnn_tpu.parallel.mesh import make_mesh
+    from dgcnn_tpu.parallel.sharded_model import apply_dgcnn_sharded
+
+    if point_shards > len(jax.devices()):
+        raise ValueError(
+            f"point_shards={point_shards} exceeds "
+            f"{len(jax.devices())} devices"
+        )
+    n = len(data)
+    x = np.ascontiguousarray(data[:, :num_features], np.float32)
+    # local-origin shift, as the blocked path does per block
+    # (/root/reference/test.py:298-301)
+    x[:, 0] -= x[:, 0].min()
+    x[:, 1] -= x[:, 1].min()
+    n_pad = -(-n // point_shards) * point_shards
+    if n_pad != n:
+        x = np.concatenate([x, np.repeat(x[-1:], n_pad - n, 0)])
+    mesh = make_mesh(n_data=1, n_points=point_shards)
+    logits = apply_dgcnn_sharded(
+        params, bn_state, jnp.asarray(x)[None], cfg, mesh
+    )[0]
+    probs = jax.nn.softmax(logits, axis=-1)
+    conf = jnp.max(probs, axis=-1)
+    pred = jnp.argmax(probs, axis=-1)
+    pred = jnp.where(conf < min_class_confidence, UNCLASSIFIED, pred)
+    return np.asarray(pred[:n], np.int32)
+
+
 def predict(
     k: int,
     io: IOStream,
@@ -50,6 +90,7 @@ def predict(
     dtm_kwargs: dict | None = None,
     seed: int = 0,
     classify_all: bool = False,
+    point_shards: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Classify a LAS/HDF5 point cloud end to end.
 
@@ -63,6 +104,15 @@ def predict(
     point set into fixed-size chunks (last chunk padded by repetition) so
     EVERY input point inside a populated block gets a label — same cost
     per point, no dropped points.
+
+    ``point_shards > 1`` removes the 30 m tiling entirely (the reference's
+    block cap exists because its O(N²) kNN must fit one device,
+    /root/reference/pointcloud_util.py:97-192): the WHOLE cloud runs as a
+    single block with its point axis sharded over ``point_shards`` mesh
+    devices (ring kNN + point-sharded forward,
+    parallel/sharded_model.py). Every point is classified; neighbourhoods
+    cross former tile boundaries. Requires ``point_shards`` <=
+    ``len(jax.devices())``.
     """
     cfg = DGCNNConfig(
         num_classes=num_classes, num_features=num_features, k=k,
@@ -84,6 +134,29 @@ def predict(
     if len(data) == 0:  # e.g. the noise filter removed everything
         io.cprint("empty cloud — nothing to classify")
         return np.zeros((0, data.shape[1])), np.zeros((0,), np.int32)
+
+    if point_shards > 1:
+        dtm = build_dtm(data[:, :3], **(dtm_kwargs or {}))
+        agl = gen_agl(dtm, data[:, :3])
+        fcols = {k_.lower(): v for k_, v in features.items()}
+        if "agl" in fcols and fcols["agl"] < data.shape[1]:
+            data[:, fcols["agl"]] = agl
+        else:
+            data = np.hstack([data, agl[:, None]])
+        io.cprint(
+            f"classifying whole cloud ({len(data)} points) over "
+            f"{point_shards} point shards"
+        )
+        pred = _classify_whole_sharded(
+            params, bn_state, cfg, data, num_features, point_shards,
+            min_class_confidence,
+        )
+        save_las_pointcloud(
+            data.astype(np.float64), pred, pred_pointcloud_file,
+            features_output=features_output, features=features,
+        )
+        io.cprint(f"wrote {pred_pointcloud_file} ({len(data)} points)")
+        return data, pred
 
     # Host-stage overlap: DTM+AGL run on a worker thread (the native
     # dtmgen ctypes calls and the numpy fallbacks release the GIL) while

@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--classify_all", type=str2bool, default=False,
                    help="label every point (not a num_points subsample per "
                         "block) during --predict")
+    p.add_argument("--point_shards", type=int, default=1,
+                   help="classify the WHOLE cloud as one block with the "
+                        "point axis sharded over this many devices (ring "
+                        "kNN sequence parallelism) instead of 30 m tiling")
 
     # train/test
     p.add_argument("--data_dir", type=str, default="")
@@ -216,6 +220,7 @@ def main(argv=None):
                 knn_impl=args.knn_impl, compute_dtype=args.compute_dtype,
                 matmul_precision=args.matmul_precision,
                 classify_all=args.classify_all,
+                point_shards=args.point_shards,
             )
             if os.path.isdir(args.predict):
                 # directory mode: classify every .las/.h5, mirrored names

@@ -384,3 +384,58 @@ def test_multi_area_basename_collision(trained, processed, workdir):
         validation_prop=0.25, seed=1,
     )
     assert len(agg["areas"]) == 2
+
+
+def test_predict_point_sharded_whole_cloud(tmp_path):
+    """point_shards>1: the whole cloud classifies as ONE block with the
+    point axis sharded over the virtual mesh (no 30 m tiling) — every
+    input point gets a label, and the result agrees with the unsharded
+    whole-cloud forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dgcnn_tpu.eval.predict import predict
+    from dgcnn_tpu.io.las import read_las, write_las
+    from dgcnn_tpu.models.dgcnn import DGCNNConfig
+    from dgcnn_tpu.train.checkpoint import save_checkpoint
+    from dgcnn_tpu.train.steps import init_train_state, make_optimizer
+    from dgcnn_tpu.utils.logging import IOStream
+
+    rng = np.random.default_rng(0)
+    n = 1200
+    xy = rng.random((n, 2)) * 40
+    z = 0.05 * xy[:, 0] + rng.normal(0, 0.1, n)
+    las = tmp_path / "tile.las"
+    write_las(str(las), xy[:, 0] + 5e5, xy[:, 1] + 6e6, z,
+              np.full(n, 2))
+
+    cfg = DGCNNConfig(num_classes=3, num_features=4, k=6, emb_dims=32)
+    tx = make_optimizer()
+    state = init_train_state(jax.random.key(0), cfg, tx)
+    save_checkpoint(str(tmp_path / "m.npz"), state)
+    io = IOStream(str(tmp_path / "log.txt"))
+
+    out = tmp_path / "out.las"
+    data, pred = predict(
+        6, io, str(las), str(out), num_points=64, num_classes=3,
+        num_features=4, emb_dims=32, model_label="m",
+        model_root=str(tmp_path), knn_impl="xla", point_shards=4,
+        min_class_confidence=0.0,
+    )
+    assert len(pred) == len(data) > 0          # every surviving point
+    assert out.exists()
+    got = read_las(str(out))
+    assert len(got.x) == len(data)
+
+    # unsharded whole-cloud forward agrees (tie-free random data)
+    from dgcnn_tpu.models.dgcnn import apply_dgcnn
+
+    x = np.ascontiguousarray(data[:, :4], np.float32)
+    x[:, 0] -= x[:, 0].min()
+    x[:, 1] -= x[:, 1].min()
+    logits, _ = apply_dgcnn(state.params, state.bn_state,
+                            jnp.asarray(x)[None], cfg, train=False)
+    want = np.asarray(jnp.argmax(logits[0], -1))
+    agree = (want == pred).mean()
+    assert agree > 0.999, agree
