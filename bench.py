@@ -189,8 +189,10 @@ def bench_train_step() -> float | None:
             make_train_step,
         )
 
+        # production-best training config: unrolled capped kNN (one-time
+        # compile rides the persistent cache) + fused stage tail
         cfg = DGCNNConfig(num_classes=C, num_features=F, k=K, emb_dims=EMB,
-                          knn_impl="pallas_capped")
+                          knn_impl="pallas_capped", knn_train_unroll=True)
         tx = make_optimizer(lr=1e-3, epochs=30, steps_per_epoch=100)
         state = init_train_state(jax.random.key(0), cfg, tx)
         step = make_train_step(cfg, tx, donate=True)

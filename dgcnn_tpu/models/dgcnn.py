@@ -333,9 +333,19 @@ def _edge_stage_two_conv(
         )
         return out, {bn_a: state[bn_a], bn_b: state[bn_b]}
     e = edge_conv_linear(x, idx, params[conv_a]["w"], compute_dtype=cd)
-    e, s_a = _batch_norm(e, params[bn_a], state[bn_a], train=train,
-                         one_pass=cfg.bn_stats == "one_pass")
-    e = _lrelu(e)
+    if train and cfg.stage_tail_fused and cfg.bn_stats == "one_pass":
+        from dgcnn_tpu.ops.edgeconv import bn_lrelu_train
+
+        e2, bmean_a, bvar_a = bn_lrelu_train(
+            e, params[bn_a]["gamma"], params[bn_a]["beta"]
+        )
+        s_a = _bn_running_update(state[bn_a], bmean_a, bvar_a,
+                                 e.size // e.shape[-1])
+        e = e2
+    else:
+        e, s_a = _batch_norm(e, params[bn_a], state[bn_a], train=train,
+                             one_pass=cfg.bn_stats == "one_pass")
+        e = _lrelu(e)
     e = _mm(e, params[conv_b]["w"], cd)
     if train and cfg.stage_tail_fused and cfg.bn_stats == "one_pass":
         mx, bmean, bvar = bn_lrelu_max_train(

@@ -296,6 +296,55 @@ def _bn_lrelu_max_bwd(res, cot):
 _bn_lrelu_max.defvjp(_bn_lrelu_max_fwd, _bn_lrelu_max_bwd)
 
 
+def bn_lrelu_train(
+    e: jax.Array, gamma: jax.Array, beta: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused training-mode mid-stage ``lrelu(BN_train(e))`` (no max).
+
+    Same math as one-pass ``_batch_norm`` + LeakyReLU(0.2); the custom
+    backward keeps only ``e`` as the big residual (stock autodiff also
+    materialises the normalised tensor and the activation mask) and
+    recomputes xhat/sign inside the two backward sweeps."""
+    return _bn_lrelu(e, gamma, beta)
+
+
+@jax.custom_vjp
+def _bn_lrelu(e, gamma, beta):
+    return _bn_lrelu_fwd(e, gamma, beta)[0]
+
+
+def _bn_lrelu_fwd(e, gamma, beta):
+    eps = 1e-5
+    slope = 0.2
+    axes = tuple(range(e.ndim - 1))
+    mean = jnp.mean(e, axis=axes)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(e), axis=axes) - jnp.square(mean), 0.0
+    )
+    inv = jax.lax.rsqrt(var + eps)
+    y = (e - mean) * (inv * gamma) + beta
+    z = jnp.where(y >= 0, y, slope * y)
+    return (z, mean, var), (e, gamma, beta, mean, inv)
+
+
+def _bn_lrelu_bwd(res, cot):
+    g = cot[0]
+    e, gamma, beta, mean, inv = res
+    slope = 0.2
+    axes = tuple(range(e.ndim - 1))
+    m_count = e.size // e.shape[-1]
+    xhat = (e - mean) * inv
+    y = xhat * gamma + beta
+    gp = jnp.where(y >= 0, g, slope * g)
+    s1 = jnp.sum(gp, axis=axes)
+    s2 = jnp.sum(gp * xhat, axis=axes)
+    de = (gamma * inv) * (gp - (s1 + xhat * s2) * (1.0 / m_count))
+    return de, s2, s1
+
+
+_bn_lrelu.defvjp(_bn_lrelu_fwd, _bn_lrelu_bwd)
+
+
 def max_over_k(e: jax.Array) -> jax.Array:
     """``jnp.max(e, axis=2)`` with a torch-matching backward.
 

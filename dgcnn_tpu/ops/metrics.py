@@ -41,8 +41,18 @@ def confusion_matrix(
     if weights is not None:
         w = w * weights.reshape(-1).astype(jnp.float32)
     flat = jnp.where(valid, true * num_classes + pred, 0)
-    counts = jnp.zeros((num_classes * num_classes,), jnp.float32)
-    counts = counts.at[flat].add(w)
+    c2 = num_classes * num_classes
+    if c2 <= 1024:
+        # one-hot contraction: XLA's scatter-add is row-serial on TPU
+        # (~row-latency per point); a (1, M) x (M, C^2) weighted one-hot
+        # matmul is a single MXU pass over the points
+        oh = (flat[:, None] == jnp.arange(c2, dtype=flat.dtype)[None, :])
+        counts = jnp.einsum(
+            "m,mc->c", w, oh.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        counts = jnp.zeros((c2,), jnp.float32).at[flat].add(w)
     return counts.reshape(num_classes, num_classes)
 
 

@@ -71,8 +71,10 @@ def main():
     ]
     if not args.skip_unroll:
         variants += [
-            ("best-gather unrolled fused-tail", "pallas", True, True),
+            ("xla-gather unrolled fused-tail", "xla", True, True),
         ]
+    if os.environ.get("DGCNN_EXP_ONLY_UNROLL"):
+        variants = [v for v in variants if "unrolled" in v[0]]
 
     for name, gimpl, unroll, fused_tail in variants:
         os.environ["DGCNN_GATHER_IMPL"] = gimpl
