@@ -554,7 +554,20 @@ def _apply_dgcnn(
             rng = jax.random.wrap_key_data(
                 jnp.tile(data, 4)[:4].astype(jnp.uint32), impl="rbg"
             )
-        mask = jax.random.bernoulli(rng, keep, h.shape)
+        c_h = h.shape[-1]
+        if cfg.dropout == 0.5 and c_h % 32 == 0:
+            # Bernoulli(1/2) is exactly one random BIT: draw 32x fewer
+            # RNG words and unpack (channel c <- bit c%32 of word c//32).
+            # Same keep distribution, a different (still deterministic-
+            # per-key) stream than the float-compare path.
+            bits = jax.random.bits(
+                rng, h.shape[:-1] + (c_h // 32,), jnp.uint32
+            )
+            shifts = jnp.arange(32, dtype=jnp.uint32)
+            mask = ((bits[..., None] >> shifts) & 1).astype(jnp.bool_)
+            mask = mask.reshape(h.shape)
+        else:
+            mask = jax.random.bernoulli(rng, keep, h.shape)
         h = jnp.where(mask, h / keep, 0.0)
 
     logits = _mm(h, params["conv9"]["w"], cd)
