@@ -35,6 +35,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <fstream>
+#include <functional>
+#include <thread>
 #include <limits>
 #include <sstream>
 #include <string>
@@ -115,6 +117,30 @@ std::vector<double> PullPushFill(const Grid& height, const Mask& known) {
     filled.swap(cur);
   }
   return filled;
+}
+
+// Split [0, n) across hardware threads (query loops below are
+// embarrassingly parallel: every output element is independent). Small
+// inputs stay single-threaded to avoid spawn overhead.
+static void ParallelFor(int64_t n, int64_t grain,
+                        const std::function<void(int64_t, int64_t)>& fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = int(std::max(1u, std::min(hw ? hw : 1u, 16u)));
+  if (nt == 1 || n < grain * 2) {
+    fn(0, n);
+    return;
+  }
+  nt = int(std::min<int64_t>(nt, std::max<int64_t>(1, n / grain)));
+  std::vector<std::thread> ts;
+  ts.reserve(nt - 1);
+  const int64_t per = (n + nt - 1) / nt;
+  for (int t = 1; t < nt; ++t) {
+    int64_t lo = t * per, hi = std::min<int64_t>(n, lo + per);
+    if (lo >= hi) break;
+    ts.emplace_back([&fn, lo, hi] { fn(lo, hi); });
+  }
+  fn(0, std::min<int64_t>(per, n));
+  for (auto& th : ts) th.join();
 }
 
 void AcceptBlockMinima(const Grid& minz, const Mask& has_data,
@@ -397,7 +423,8 @@ extern "C" int dtmgen_noise_mask(const double* xyz, int64_t n,
   auto clamp = [](int64_t v, int64_t n_) {
     return std::max<int64_t>(0, std::min(v, n_ - 1));
   };
-  for (int64_t slot = 0; slot < n; ++slot) {
+  ParallelFor(n, 20000, [&](int64_t lo, int64_t hi) {
+  for (int64_t slot = lo; slot < hi; ++slot) {
     const int64_t i = ci.order[slot];
     const double px = xyz[i * 3], py = xyz[i * 3 + 1], pz = xyz[i * 3 + 2];
     const int64_t cx =
@@ -423,6 +450,7 @@ extern "C" int dtmgen_noise_mask(const double* xyz, int64_t n,
     }
     keep[i] = found ? 1 : 0;
   }
+  });
   return 0;
 }
 
@@ -449,10 +477,11 @@ extern "C" int dtmgen_agl_knn(const double* ref_xy, const double* ref_z,
   if (!BuildIndex(ref_xy, m, 2, 2, cell, &ci))
     return 1;  // caller falls back to the KDTree path
 
+  const int64_t max_ring = std::max(ci.nx, ci.ny) + 1;
+  ParallelFor(nq, 5000, [&](int64_t lo, int64_t hi) {
   std::vector<double> best_d(k);
   std::vector<int64_t> best_i(k);
-  const int64_t max_ring = std::max(ci.nx, ci.ny) + 1;
-  for (int64_t q = 0; q < nq; ++q) {
+  for (int64_t q = lo; q < hi; ++q) {
     const double px = q_xy[q * 2], py = q_xy[q * 2 + 1];
     const int64_t cx = std::max<int64_t>(
         0, std::min(int64_t(std::floor((px - ci.ox) / ci.cell)), ci.nx - 1));
@@ -496,6 +525,7 @@ extern "C" int dtmgen_agl_knn(const double* ref_xy, const double* ref_z,
     for (int t = 0; t < have; ++t) sum += ref_z[best_i[t]];
     out_mean[q] = have ? sum / have : 0.0;
   }
+  });
   return 0;
 }
 
