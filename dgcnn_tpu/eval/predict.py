@@ -170,8 +170,11 @@ def predict(
     agl_box: dict = {}
 
     def _dtm_agl():
-        dtm = build_dtm(data[:, :3], **(dtm_kwargs or {}))
-        agl_box["agl"] = gen_agl(dtm, data[:, :3])
+        try:
+            dtm = build_dtm(data[:, :3], **(dtm_kwargs or {}))
+            agl_box["agl"] = gen_agl(dtm, data[:, :3])
+        except BaseException as e:  # re-raised on the main thread below
+            agl_box["error"] = e
 
     th = threading.Thread(target=_dtm_agl)
     th.start()
@@ -219,6 +222,8 @@ def predict(
     n_blocks = len(block_idx)
     io.cprint(f"classifying {n_blocks} blocks of {num_points} points")
     th.join()
+    if "error" in agl_box:  # DTM/AGL failed on the worker — surface it
+        raise agl_box["error"]
     if n_blocks == 0:
         io.cprint("no blocks with enough points — nothing to classify")
         return np.zeros((0, data.shape[1])), np.zeros((0,), np.int32)

@@ -44,21 +44,10 @@ def _pick_unroll(rows: int, want: int) -> int:
     return 1
 
 
-def _gather_to_scratch(idx_ref, table_ref, g_scr, rows, unroll):
-    """g_scr[r] = table[idx[r]] via unrolled dynamic sublane loads; the
-    unroll gives the VPU independent loads to pipeline (u=8 measured ~2.3x
-    u=1 on v5e)."""
-
-    def body(i, _):
-        base = i * unroll
-        for u in range(unroll):
-            t = idx_ref[0, 0, base + u]
-            g_scr[pl.dslice(base + u, 1), :] = table_ref[
-                0, pl.dslice(t, 1), :
-            ]
-        return 0
-
-    jax.lax.fori_loop(0, rows // unroll, body, 0, unroll=False)
+# THE in-VMEM row-gather loop lives in gather_pallas (one tuned copy)
+from dgcnn_tpu.kernels.gather_pallas import (  # noqa: E402
+    gather_rows_loop as _gather_to_scratch,
+)
 
 
 def _stage_kernel(idx_ref, table_ref, b_ref, w2_ref, sa_ref, ta_ref,

@@ -7,10 +7,14 @@ standalone XLA gather of the same rows (scripts/exp_gather_pallas.py) —
 XLA's row-gather is HBM-random-read bound while the table here is a 1.8 MB
 VMEM tile.
 
-Used by :func:`dgcnn_tpu.ops.edgeconv.gather_neighbors` on the TPU
-training path (where the gathered tensor must materialise for BatchNorm
-batch statistics); eval uses the fully fused stage kernels
-(kernels/edgeconv_pallas.py) that never materialise it at all.
+Status: :func:`gather_rows` is an OPT-IN study knob for the training
+forward (``DGCNN_GATHER_IMPL=pallas`` in ops/edgeconv.py; default "xla" —
+measured SLOWER in the full train program, 105 vs 91 ms/step, because XLA
+fuses its gather into the BN-stat sweep and other consumers while this
+materialises the tensor standalone; DESIGN.md round-3 dead ends). The
+shared :func:`gather_rows_loop` body IS production code — the fused eval
+stage kernels (kernels/edgeconv_pallas.py) run it against their VMEM
+scratch, where it wins ~2x per stage.
 """
 
 from __future__ import annotations
@@ -27,17 +31,27 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(idx_ref, table_ref, out_ref, *, rows, unroll):
+def gather_rows_loop(idx_ref, table_ref, dst_ref, rows: int, unroll: int):
+    """``dst_ref[r, :] = table_ref[0, idx_ref[0, 0, r], :]`` for r in
+    [0, rows) — THE tuned in-VMEM row-gather loop (unrolled dynamic
+    sublane loads; u=8 measured ~2.3x u=1 on v5e). ``rows`` must be a
+    multiple of ``unroll``. Shared by :func:`gather_rows` and the fused
+    stage kernels in kernels/edgeconv_pallas.py — retune here only."""
+
     def body(i, _):
         base = i * unroll
         for u in range(unroll):
             t = idx_ref[0, 0, base + u]
-            out_ref[0, pl.dslice(base + u, 1), :] = table_ref[
+            dst_ref[pl.dslice(base + u, 1), :] = table_ref[
                 0, pl.dslice(t, 1), :
             ]
         return 0
 
     jax.lax.fori_loop(0, rows // unroll, body, 0, unroll=False)
+
+
+def _kernel(idx_ref, table_ref, out_ref, *, rows, unroll):
+    gather_rows_loop(idx_ref, table_ref, out_ref.at[0], rows, unroll)
 
 
 @functools.partial(

@@ -125,6 +125,12 @@ def _autotuned_tiles(measure=None) -> "tuple[int, int] | None":
     import os
     import sys
 
+    # the kill switch must beat the cache: DGCNN_KNN_AUTOTUNE=0 means
+    # "the table/default constants, ignore any tuned tile" — the escape
+    # hatch when a cached sweep result is bad
+    if os.environ.get("DGCNN_KNN_AUTOTUNE", "1") != "1":
+        _AUTOTUNED = None
+        return None
     path = _autotune_cache_path()
     if os.path.exists(path):
         try:
@@ -134,9 +140,7 @@ def _autotuned_tiles(measure=None) -> "tuple[int, int] | None":
             return _AUTOTUNED
         except Exception:
             pass
-    if os.environ.get("DGCNN_KNN_AUTOTUNE", "1") != "1" or (
-        measure is None and jax.default_backend() != "tpu"
-    ):
+    if measure is None and jax.default_backend() != "tpu":
         _AUTOTUNED = None
         return None
     measure = measure or _measure_tile

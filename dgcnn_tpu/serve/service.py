@@ -128,13 +128,16 @@ def serve_directory(
     until its mtime is at least ``settle_s`` old (half-written uploads).
     Failures write ``failed_dir/name.error.json`` and never stop the
     service. ``once=True`` drains the current backlog and returns;
-    ``max_tiles`` bounds total work (for tests/CI). Returns the number of
-    tiles processed.
+    ``max_tiles`` bounds total ATTEMPTED tiles this run (successes +
+    failures — a quota of successes alone could never be met on a backlog
+    full of bad tiles and the watcher would poll forever). Returns the
+    number of tiles successfully processed.
     """
     failed_dir = failed_dir or os.path.join(out_dir, "failed")
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(failed_dir, exist_ok=True)
     done = 0
+    attempted = 0
     while True:
         names = sorted(
             f for f in os.listdir(in_dir)
@@ -154,13 +157,14 @@ def serve_directory(
             if time.time() - mtime < settle_s:
                 continue  # possibly still uploading
             out_las = os.path.join(out_dir, stem + ".las")
+            attempted += 1
             try:
                 stats = service.classify_file(src, out_las)
                 _atomic_json(sidecar, stats)
-                # only SUCCESSFUL tiles count toward done/max_tiles — a
-                # bounded run must not under-process its backlog because
-                # some tiles failed (failures are already isolated via the
-                # error sidecar and never retried)
+                # the return value counts SUCCESSES; the max_tiles quota
+                # counts attempts (failures are isolated via the error
+                # sidecar and never retried, so counting only successes
+                # would hang a bounded run on a failure-laden backlog)
                 done += 1
             except Exception as e:  # noqa: BLE001 — service must survive
                 service.failed += 1
@@ -172,7 +176,7 @@ def serve_directory(
                 service.io.cprint(f"FAILED {name}: {type(e).__name__}: {e}")
             _atomic_json(os.path.join(out_dir, "status.json"),
                          service.status())
-            if max_tiles is not None and done >= max_tiles:
+            if max_tiles is not None and attempted >= max_tiles:
                 return done
         _atomic_json(os.path.join(out_dir, "status.json"), service.status())
         if once:

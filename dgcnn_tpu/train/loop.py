@@ -99,27 +99,6 @@ def train(
     knobs dropped — device selection is JAX's; seed/knn_impl/compute_dtype
     added).
     """
-    # knn_train_unroll="auto": run the python-unrolled capped-kNN train
-    # kernel (saves ~4.5 ms/step) exactly when an earlier run proved the
-    # persistent compilation cache is warm for this program shape; its
-    # ~10-min one-time Mosaic compile is only ever paid by an explicit
-    # knn_train_unroll=True run, which seeds the marker.
-    from dgcnn_tpu.utils.compilation_cache import (
-        is_warm,
-        mark_warm,
-        warm_key,
-    )
-
-    unroll_key = warm_key(
-        "train-unroll", k, num_points, num_classes, num_features, emb_dims,
-        dropout, knn_impl, compute_dtype, matmul_precision, train_batch_size,
-        grad_accum, remat, smoothing, device_masks, tuple(exclude_classes),
-        use_sgd, lr, momentum, scheduler, epochs,
-    )
-    if knn_train_unroll == "auto":
-        knn_train_unroll = is_warm(unroll_key)
-    elif isinstance(knn_train_unroll, str):
-        knn_train_unroll = knn_train_unroll.lower() in ("1", "true", "yes")
     cfg = DGCNNConfig(
         num_classes=num_classes,
         num_features=num_features,
@@ -127,7 +106,7 @@ def train(
         dropout=dropout,
         emb_dims=emb_dims,
         knn_impl=knn_impl,
-        knn_train_unroll=bool(knn_train_unroll),
+        knn_train_unroll=False,  # resolved below, after steps_per_epoch
         compute_dtype=compute_dtype,
         matmul_precision=matmul_precision,
     )
@@ -155,6 +134,35 @@ def train(
         io.cprint("no validation split — checkpointing on train metrics")
 
     steps_per_epoch = max(len(train_data) // train_batch_size, 1)
+
+    # knn_train_unroll="auto": run the python-unrolled capped-kNN train
+    # kernel (saves ~5 ms/step) exactly when an earlier run proved the
+    # persistent compilation cache is warm for this program shape; the
+    # one-time Mosaic compile is only ever paid by an explicit
+    # knn_train_unroll=True run, which seeds the marker. The key must hash
+    # EVERYTHING that reaches the jitted step's HLO — including
+    # steps_per_epoch (baked into the cosine schedule's constants), which
+    # is why resolution waits until the dataset size is known.
+    import dataclasses as _dc
+
+    from dgcnn_tpu.utils.compilation_cache import (
+        is_warm,
+        mark_warm,
+        warm_key,
+    )
+
+    unroll_key = warm_key(
+        "train-unroll", k, num_points, num_classes, num_features, emb_dims,
+        dropout, knn_impl, compute_dtype, matmul_precision, train_batch_size,
+        grad_accum, remat, smoothing, device_masks, tuple(exclude_classes),
+        use_sgd, lr, momentum, scheduler, epochs, steps_per_epoch,
+    )
+    if knn_train_unroll == "auto":
+        knn_train_unroll = is_warm(unroll_key)
+    elif isinstance(knn_train_unroll, str):
+        knn_train_unroll = knn_train_unroll.lower() in ("1", "true", "yes")
+    cfg = _dc.replace(cfg, knn_train_unroll=bool(knn_train_unroll))
+
     tx = make_optimizer(
         use_sgd=use_sgd, lr=lr, momentum=momentum, scheduler=scheduler,
         epochs=epochs, steps_per_epoch=steps_per_epoch,

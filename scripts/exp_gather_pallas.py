@@ -277,17 +277,20 @@ def main():
                 log(f"fused  u={unroll} qt={qt}: FAILED "
                     f"{type(e).__name__}: {e}")
 
-    # 4. split: XLA gather + existing epilogue kernel
-    from dgcnn_tpu.kernels.edgeconv_pallas import edgeconv_epilogue
+    # 4. production fused stage kernel (kernels/edgeconv_pallas.py) — the
+    # shipped form of the inline `fused` prototype above. (The historical
+    # 'epi-split' variant — XLA gather + a Pallas epilogue on the
+    # pre-gathered tensor — measured 8.7 ms and was removed with the r2
+    # epilogue kernel it depended on.)
+    from dgcnn_tpu.kernels.edgeconv_pallas import edgeconv_fused_stage
 
-    def split():
-        g = gather_neighbors(table, idx)
-        return edgeconv_epilogue(g, bvec, w2, sa, ta, sb, tb)
+    def prod():
+        return edgeconv_fused_stage(table, idx, bvec, w2, sa, ta, sb, tb)
 
-    t = timeit(jax.jit(split), args.iters, rt)
-    got = np.asarray(jax.jit(split)())
+    t = timeit(jax.jit(prod), args.iters, rt)
+    got = np.asarray(jax.jit(prod)())
     err = float(np.max(np.abs(got - want_ep)))
-    log(f"split gather+epi-krnl: {t*1e3:7.2f} ms maxerr {err:.2e}")
+    log(f"prod fused stage:      {t*1e3:7.2f} ms maxerr {err:.2e}")
 
 
 if __name__ == "__main__":

@@ -79,8 +79,8 @@ def test_serve_directory_isolates_failures(service, tmp_path):
     (in_dir / "corrupt.las").write_bytes(b"not a las file at all")
     _make_tile(in_dir / "good.las", seed=3)
 
-    # only the SUCCESSFUL tile counts toward the return value /
-    # max_tiles budget — failures must not consume the bounded-run quota
+    # the return value counts only SUCCESSFUL tiles (max_tiles separately
+    # bounds attempts — see test_bounded_run_with_failures_terminates)
     n = serve_directory(service, str(in_dir), str(out_dir), once=True,
                         settle_s=0.0)
     assert n == 1
@@ -139,3 +139,23 @@ def test_serve_empty_tile_is_not_a_failure(service, tmp_path):
     assert stats["points"] == 0 and stats["output"] is None
     status = json.loads((out_dir / "status.json").read_text())
     assert status["failed"] == 0 and status["processed"] == 1
+
+
+def test_bounded_run_with_failures_terminates(service, tmp_path):
+    """max_tiles bounds ATTEMPTS: a backlog containing failures must not
+    make a bounded watcher (once=False) poll forever waiting for enough
+    successes."""
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    (in_dir / "bad1.las").write_bytes(b"junk")
+    (in_dir / "bad2.las").write_bytes(b"more junk")
+    _make_tile(in_dir / "ok.las", seed=5)
+
+    # 3 tiles, max_tiles=3 -> terminates after attempting all three even
+    # though only one succeeds (pre-fix this hung: done stayed at 1 < 3)
+    n = serve_directory(service, str(in_dir), str(out_dir),
+                        settle_s=0.0, max_tiles=3, poll_s=0.1)
+    assert n == 1
+    assert (out_dir / "ok.las").exists()
+    assert (out_dir / "failed" / "bad1.error.json").exists()
+    assert (out_dir / "failed" / "bad2.error.json").exists()
