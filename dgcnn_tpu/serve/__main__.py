@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_batch_size", type=int, default=8)
     p.add_argument("--min_class_confidence", type=float, default=0.8)
     p.add_argument("--classify_all", action="store_true")
+    p.add_argument("--point_shards", type=int, default=1,
+                   help="classify each tile whole (no 30 m tiling) with "
+                        "the point axis sharded over this many devices")
     p.add_argument("--knn_impl", default="auto")
     p.add_argument("--compute_dtype", default=None)
     p.add_argument("--matmul_precision", default=None)
@@ -72,6 +75,7 @@ def main(argv=None) -> int:
         compute_dtype=args.compute_dtype,
         matmul_precision=args.matmul_precision,
         classify_all=args.classify_all,
+        point_shards=args.point_shards,
     )
     if args.http_port:
         start_status_server(service, args.http_port)
