@@ -282,3 +282,53 @@ def test_train_step_fused_tail_matches_plain(rng):
                     jax.tree_util.tree_leaves(outs[False][1].bn_state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_fused_stage_kernels_odd_shapes(rng):
+    """Direct kernel tests at awkward shapes: N not divisible by qt, odd k
+    (qt*k unroll fallback), C2 != C — interpret mode."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dgcnn_tpu.kernels.edgeconv_pallas import (
+        edgeconv_fused_extrema,
+        edgeconv_fused_stage,
+    )
+
+    B, N, K, C, C2 = 2, 130, 7, 8, 16
+    table = jnp.asarray(rng.normal(size=(B, N, C)).astype("float32"))
+    idx = jnp.asarray(rng.integers(0, N, (B, N, K)).astype("int32"))
+    bvec = jnp.asarray(rng.normal(size=(B, N, C)).astype("float32"))
+    w2 = jnp.asarray(rng.normal(size=(C, C2)).astype("float32"))
+    sa = jnp.asarray(rng.normal(size=(C,)).astype("float32"))
+    ta = jnp.asarray(rng.normal(size=(C,)).astype("float32"))
+    sb = jnp.asarray(rng.normal(size=(C2,)).astype("float32"))
+    tb = jnp.asarray(rng.normal(size=(C2,)).astype("float32"))
+
+    def ref_stage():
+        g = np.stack([np.asarray(table)[b][np.asarray(idx)[b].reshape(-1)]
+                      .reshape(N, K, C) for b in range(B)])
+        e = g + np.asarray(bvec)[:, :, None, :]
+        e = e * np.asarray(sa) + np.asarray(ta)
+        e = np.where(e >= 0, e, 0.2 * e)
+        h = e @ np.asarray(w2)
+        h = h * np.asarray(sb) + np.asarray(tb)
+        h = np.where(h >= 0, h, 0.2 * h)
+        return h.max(axis=2)
+
+    got = np.asarray(edgeconv_fused_stage(
+        table, idx, bvec, w2, sa, ta, sb, tb, qt=64, interpret=True))
+    np.testing.assert_allclose(got, ref_stage(), atol=1e-4, rtol=1e-4)
+
+    gamma = jnp.asarray([-1.0, 0.5, 1.0, -0.2, 0.3, 2.0, -3.0, 0.1],
+                        jnp.float32)
+    got_x = np.asarray(edgeconv_fused_extrema(
+        table, idx, bvec, gamma, sa, ta, qt=64, interpret=True))
+    g = np.stack([np.asarray(table)[b][np.asarray(idx)[b].reshape(-1)]
+                  .reshape(N, K, C) for b in range(B)])
+    mx = g.max(axis=2) + np.asarray(bvec)
+    mn = g.min(axis=2) + np.asarray(bvec)
+    sel = np.where(np.asarray(gamma) >= 0, mx, mn)
+    y = sel * np.asarray(sa) + np.asarray(ta)
+    want_x = np.where(y >= 0, y, 0.2 * y)
+    np.testing.assert_allclose(got_x, want_x, atol=1e-5, rtol=1e-5)
