@@ -157,7 +157,11 @@ class FugroDataset:
         if pad_multiple is None:
             pad_multiple = 512 if self.use_all_points else 1
         order = np.arange(len(self))
-        epoch_rng = np.random.default_rng((self.seed, epoch, hash(self.split) & 0xFFFF))
+        # stable split token — NOT hash(str), which is salted per
+        # interpreter (PYTHONHASHSEED) and would make batch order (and
+        # every downstream self.rng draw) differ between runs/processes
+        split_token = 0 if self.split == "train" else 1
+        epoch_rng = np.random.default_rng((self.seed, epoch, split_token))
         if shuffle:
             epoch_rng.shuffle(order)
         for start in range(0, len(order), batch_size):

@@ -20,6 +20,28 @@ import jax
 import jax.numpy as jnp
 
 
+def smoothed_ce_per_point(
+    logits: jax.Array,
+    labels: jax.Array,
+    *,
+    smoothing: bool = True,
+    eps: float = 0.2,
+) -> jax.Array:
+    """Per-point label-smoothed CE (no reduction) — THE smoothing formula
+    (/root/reference/util.py:17-34: true class ``1-eps``, others
+    ``eps/(C-1)``). Shared by the scalar losses below and the
+    point-sharded trainer (parallel/sharded_model.py), which psums its own
+    masked reduction."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    n_class = logits.shape[-1]
+    true_logp = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    if not smoothing:
+        return -true_logp
+    off = eps / (n_class - 1)
+    # sum_c w_c * logp_c with w = one_hot*(1-eps) + (1-one_hot)*off
+    return -(off * jnp.sum(logp, axis=-1) + (1.0 - eps - off) * true_logp)
+
+
 def smoothed_cross_entropy(
     logits: jax.Array,
     labels: jax.Array,
@@ -41,15 +63,9 @@ def smoothed_cross_entropy(
     Returns:
         scalar mean loss.
     """
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    n_class = logits.shape[-1]
-    true_logp = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    if not smoothing:
-        return -jnp.mean(true_logp)
-    off = eps / (n_class - 1)
-    # sum_c w_c * logp_c with w = one_hot*(1-eps) + (1-one_hot)*off
-    loss = -(off * jnp.sum(logp, axis=-1) + (1.0 - eps - off) * true_logp)
-    return jnp.mean(loss)
+    return jnp.mean(
+        smoothed_ce_per_point(logits, labels, smoothing=smoothing, eps=eps)
+    )
 
 
 def masked_smoothed_cross_entropy(
@@ -74,13 +90,8 @@ def masked_smoothed_cross_entropy(
     Returns:
         scalar masked mean loss.
     """
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    n_class = logits.shape[-1]
-    true_logp = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    if smoothing:
-        off = eps / (n_class - 1)
-        per_point = -(off * jnp.sum(logp, axis=-1) + (1.0 - eps - off) * true_logp)
-    else:
-        per_point = -true_logp
+    per_point = smoothed_ce_per_point(
+        logits, labels, smoothing=smoothing, eps=eps
+    )
     w = mask.astype(per_point.dtype)
     return jnp.sum(per_point * w) / jnp.maximum(jnp.sum(w), 1.0)

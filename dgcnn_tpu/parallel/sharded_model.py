@@ -275,7 +275,7 @@ def make_sharded_train_step(
     """
     import optax
 
-    from dgcnn_tpu.ops.losses import masked_smoothed_cross_entropy
+    from dgcnn_tpu.ops.losses import smoothed_ce_per_point
     from dgcnn_tpu.ops.metrics import confusion_matrix
     from dgcnn_tpu.train.steps import TrainState
 
@@ -287,18 +287,10 @@ def make_sharded_train_step(
         logits, new_bn = _forward_local_train(
             params, bn_state, points, rng, cfg
         )
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        n_class = logits.shape[-1]
-        true_logp = jnp.take_along_axis(
-            logp, labels[..., None], axis=-1
-        )[..., 0]
-        if smoothing:
-            eps = 0.2
-            off = eps / (n_class - 1)
-            per_point = -(off * jnp.sum(logp, axis=-1)
-                          + (1.0 - eps - off) * true_logp)
-        else:
-            per_point = -true_logp
+        # the smoothing formula lives in ops/losses.py (one copy); only
+        # the masked reduction is psum'd here
+        per_point = smoothed_ce_per_point(logits, labels,
+                                          smoothing=smoothing)
         w = mask.astype(per_point.dtype)
         num = jax.lax.psum(jnp.sum(per_point * w), _BOTH)
         den = jax.lax.psum(jnp.sum(w), _BOTH)

@@ -91,7 +91,25 @@ def load_checkpoint(path: str, like: Any) -> tuple[Any, dict[str, float]]:
             raise ValueError(
                 f"leaf shape mismatch: checkpoint {got.shape} vs {ws}"
             )
-        leaves.append(jax.numpy.asarray(got, dtype=np.asarray(want).dtype))
+        # dtype from the template WITHOUT np.asarray(want) — that would
+        # device-to-host copy every leaf just to read .dtype (and break on
+        # non-fully-addressable multi-process templates)
+        dtype = getattr(want, "dtype", None) or np.asarray(want).dtype
+        arr = jax.numpy.asarray(got, dtype=dtype)
+        # preserve the template's placement: a resumed TP/DP run must get
+        # its arrays back on the same NamedShardings (otherwise GSPMD is
+        # free to replicate what the caller deliberately sharded)
+        sharding = getattr(want, "sharding", None)
+        if sharding is not None:
+            if getattr(want, "is_fully_addressable", True):
+                arr = jax.device_put(arr, sharding)
+            else:
+                arr = jax.make_array_from_callback(
+                    tuple(ws), sharding,
+                    lambda idx, got=got, dtype=dtype: np.asarray(
+                        got[idx], dtype),
+                )
+        leaves.append(arr)
     return jax.tree_util.tree_unflatten(treedef, leaves), manifest["metadata"]
 
 
@@ -157,6 +175,15 @@ def save_checkpoint_sharded(path: str, state: Any, **metadata: float) -> None:
     loadable-looking but incomplete checkpoint.
     """
     pid, n_proc = jax.process_index(), jax.process_count()
+    try:
+        if os.path.isfile(path):
+            # overwrite semantics across layouts: an earlier single-file
+            # .npz save lives here (the dir→file direction is handled in
+            # save_checkpoint); every process may race on this — first
+            # remove wins, the rest see a dir or nothing
+            os.remove(path)
+    except OSError:
+        pass
     os.makedirs(path, exist_ok=True)
     # save nonce: every shard file and the manifest carry it, so a restore
     # can reject stale shards_p*.npz left behind by an earlier save with a
@@ -199,11 +226,17 @@ def save_checkpoint_sharded(path: str, state: Any, **metadata: float) -> None:
                 "index": _slices_to_json(sh.index, raw.shape),
             })
 
-    tmp = os.path.join(path, f".shards_p{pid}.npz.tmp")
+    # nonce-suffixed shard names: a RE-save never overwrites the previous
+    # checkpoint's files, so a crash mid-save (some processes written, no
+    # new manifest yet) leaves the old manifest + old shard files intact
+    # and fully loadable; stale files are cleaned only after the new
+    # manifest is durable (loaders filter by manifest nonce anyway)
+    shard_name = f"shards_p{pid}_{nonce}.npz"
+    tmp = os.path.join(path, f".{shard_name}.tmp")
     with open(tmp, "wb") as f:
         np.savez(f, __index__=json.dumps({"nonce": nonce, "shards": index}),
                  **arrays)
-    os.replace(tmp, os.path.join(path, f"shards_p{pid}.npz"))
+    os.replace(tmp, os.path.join(path, shard_name))
 
     if n_proc > 1:  # every shard file must exist before the manifest
         from jax.experimental import multihost_utils
@@ -226,6 +259,19 @@ def save_checkpoint_sharded(path: str, state: Any, **metadata: float) -> None:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("dgcnn_ckpt_manifest_written")
+    # the new checkpoint is durable: drop THIS process's stale shard files
+    # from earlier saves (best-effort; loaders ignore them via the nonce)
+    import glob as _glob
+
+    for fp in _glob.glob(os.path.join(path, f"shards_p{pid}_*.npz")) + (
+        [os.path.join(path, f"shards_p{pid}.npz")]
+    ):
+        if fp.endswith(f"_{nonce}.npz"):
+            continue
+        try:
+            os.remove(fp)
+        except OSError:
+            pass
 
 
 # Span accounting for the last load_checkpoint_sharded call: bytes of

@@ -133,6 +133,14 @@ def train(
     if val_data is None:
         io.cprint("no validation split — checkpointing on train metrics")
 
+    if len(train_data) < train_batch_size:
+        # fixed-shape batching drops partial batches (drop_last): every
+        # epoch would silently iterate ZERO batches and "train" nothing
+        raise ValueError(
+            f"train split has {len(train_data)} samples < train_batch_size "
+            f"{train_batch_size} — no full batch can form; lower "
+            "train_batch_size (or validation_prop)"
+        )
     steps_per_epoch = max(len(train_data) // train_batch_size, 1)
 
     # knn_train_unroll="auto": run the python-unrolled capped-kNN train
@@ -156,6 +164,9 @@ def train(
         dropout, knn_impl, compute_dtype, matmul_precision, train_batch_size,
         grad_accum, remat, smoothing, device_masks, tuple(exclude_classes),
         use_sgd, lr, momentum, scheduler, epochs, steps_per_epoch,
+        # parallel layout changes the partitioned program; ragged
+        # use_all_points mode compiles one program per shape bucket
+        len(jax.devices()), data_parallel, tensor_parallel, use_all_points,
     )
     if knn_train_unroll == "auto":
         knn_train_unroll = is_warm(unroll_key)

@@ -126,6 +126,13 @@ def test_sharded_checkpoint_round_trip(tmp_path):
     assert w.sharding == state.params["conv6"]["w"].sharding
 
 
+def _shard_file(path, pid=0):
+    """The (nonce-suffixed) shard file a save wrote for this process."""
+    import glob as _g
+
+    return sorted(_g.glob(os.path.join(path, f"shards_p{pid}_*.npz")))[-1]
+
+
 def test_sharded_checkpoint_two_process_layout(tmp_path):
     """A checkpoint whose shards are spread over several shards_p*.npz
     files (as a 2-process writer produces on a shared filesystem) must
@@ -145,11 +152,12 @@ def test_sharded_checkpoint_two_process_layout(tmp_path):
     save_checkpoint_sharded(path, state, epoch=2, mBPCA=0.5)
 
     # split the single writer's file into two "process" files
-    src = os.path.join(path, "shards_p0.npz")
+    src = _shard_file(path)
     with np.load(src, allow_pickle=False) as z:
         wrapper = json.loads(str(z["__index__"]))
         index = wrapper["shards"]
         arrays = {e["key"]: z[e["key"]] for e in index}
+    os.remove(src)
     half = len(index) // 2
     for pid, part in ((0, index[:half]), (1, index[half:])):
         np.savez(
@@ -187,7 +195,7 @@ def test_sharded_checkpoint_missing_shards_resume_fresh(tmp_path):
     state = _sharded_state(mesh)
     path = str(tmp_path / "ckpt3")
     save_checkpoint_sharded(path, state, epoch=1)
-    src = os.path.join(path, "shards_p0.npz")
+    src = _shard_file(path)
     with np.load(src, allow_pickle=False) as z:
         wrapper = json.loads(str(z["__index__"]))
         keep = wrapper["shards"][: len(wrapper["shards"]) // 2]
@@ -221,8 +229,7 @@ def test_sharded_checkpoint_rejects_stale_shards(tmp_path):
     path = str(tmp_path / "ckpt_stale")
     save_checkpoint_sharded(path, state, epoch=1)
     # simulate the old save's file surviving under another process id
-    os.rename(os.path.join(path, "shards_p0.npz"),
-              os.path.join(path, "shards_p7.npz"))
+    os.rename(_shard_file(path), os.path.join(path, "shards_p7.npz"))
     import dataclasses
 
     state2 = dataclasses.replace(
@@ -231,3 +238,52 @@ def test_sharded_checkpoint_rejects_stale_shards(tmp_path):
     got, meta = load_checkpoint_sharded(path, state2)
     assert meta["epoch"] == 2.0
     assert int(got.step) == int(state2.step)  # not the stale epoch-1 value
+
+
+def test_file_to_sharded_dir_overwrite(tmp_path):
+    """A single-file .npz checkpoint at ``path`` must not crash a later
+    sharded (directory) save at the same path — the file->dir layout
+    transition (the dir->file direction was already handled)."""
+    from dgcnn_tpu.train.checkpoint import (
+        load_checkpoint_sharded,
+        save_checkpoint,
+        save_checkpoint_sharded,
+    )
+
+    state = {"w": jnp.arange(8.0), "b": jnp.float32(3.0)}
+    path = str(tmp_path / "ckpt_x")
+    save_checkpoint(path, state, epoch=1)
+    assert os.path.isfile(path)
+    save_checkpoint_sharded(path, state, epoch=2)
+    assert os.path.isdir(path)
+    got, meta = load_checkpoint_sharded(path, state)
+    assert meta["epoch"] == 2.0
+    np.testing.assert_array_equal(np.asarray(got["w"]),
+                                  np.asarray(state["w"]))
+
+
+def test_single_file_restore_preserves_template_shardings(tmp_path):
+    """load_checkpoint must place restored leaves on the TEMPLATE's
+    shardings (a resumed tensor-parallel run would otherwise silently
+    lose its NamedShardings and replicate the trunk)."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dgcnn_tpu.parallel.mesh import make_mesh
+    from dgcnn_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    mesh = make_mesh(n_data=4, n_points=2)
+    sh = NamedSharding(mesh, P(None, "points"))
+    state = {
+        "w": jax.device_put(jnp.arange(32.0).reshape(4, 8), sh),
+        "b": jax.device_put(jnp.arange(4.0), NamedSharding(mesh, P())),
+    }
+    path = str(tmp_path / "tp.npz")
+    save_checkpoint(path, state, epoch=1)
+    got, _ = load_checkpoint(path, state)
+    assert got["w"].sharding == sh
+    np.testing.assert_array_equal(np.asarray(got["w"]),
+                                  np.asarray(state["w"]))

@@ -92,10 +92,13 @@ def test_two_process_sharded_checkpoint(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"proc {i}: OK" in out
-    # two shard files, one per process, plus the manifest
+    # two shard files (nonce-suffixed), one per process, plus the manifest
     files = sorted(os.listdir(ckpt))
     assert "manifest.json" in files
-    assert "shards_p0.npz" in files and "shards_p1.npz" in files
+    assert any(f.startswith("shards_p0_") and f.endswith(".npz")
+               for f in files)
+    assert any(f.startswith("shards_p1_") and f.endswith(".npz")
+               for f in files)
 
 
 _TRAIN_WORKER = r'''

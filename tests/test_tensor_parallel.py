@@ -59,7 +59,7 @@ def test_train_loop_tensor_parallel_wired(tmp_path):
     rng = np.random.default_rng(0)
     data_dir = tmp_path / "rooms"
     data_dir.mkdir()
-    for i in range(4):
+    for i in range(5):
         pts = rng.random((300, 4)) * 30
         labels = rng.integers(0, 5, (300, 1))
         np.save(data_dir / f"Area_{i}.npy", np.hstack([pts, labels]))

@@ -294,7 +294,7 @@ def test_knn_train_unroll_auto_marker(tmp_path, monkeypatch):
 
     key = cc.warm_key("train-unroll", 2, 32, 5, 4, 32, 0.5, "xla", None,
                       None, 2, 1, False, True, False, (), False, 0.001,
-                      0.9, "cos", 1, 1)
+                      0.9, "cos", 1, 1, 8, False, 1, False)
     assert not cc.is_warm(key)
     train(2, io, model_root=str(tmp_path / "m1"),
           knn_train_unroll="1", **kwargs)
@@ -302,7 +302,7 @@ def test_knn_train_unroll_auto_marker(tmp_path, monkeypatch):
     # a DIFFERENT config (other k) stays cold
     other = cc.warm_key("train-unroll", 3, 32, 5, 4, 32, 0.5, "xla", None,
                         None, 2, 1, False, True, False, (), False, 0.001,
-                        0.9, "cos", 1, 1)
+                        0.9, "cos", 1, 1, 8, False, 1, False)
     assert not cc.is_warm(other)
     # and the auto run trains fine (resolves the marker internally)
     train(2, io, model_root=str(tmp_path / "m2"),
