@@ -282,8 +282,7 @@ def predict(
     out_data = np.vstack(merged_pts)
     out_pred = np.concatenate(merged_pred)
     save_las_pointcloud(
-        out_data, np.where(out_pred == UNCLASSIFIED, UNCLASSIFIED, out_pred),
-        pred_pointcloud_file,
+        out_data, out_pred, pred_pointcloud_file,
         features_output=features_output, features=features,
     )
     io.cprint(f"wrote {pred_pointcloud_file} ({len(out_data)} points)")

@@ -109,7 +109,13 @@ def test(
     )
 
     io.cprint("Start testing ...")
-    cm = np.zeros((num_classes, num_classes))
+    # (C+1)-wide matrix: column C collects confidence-thresholded
+    # UNCLASSIFIED(31) predictions so they count as WRONG in accuracy and
+    # in every class's recall — matching the reference, which scores all
+    # points with sklearn (/root/reference/test.py:164-165; a pred of 31
+    # never equals a true label). Dropping them would inflate the metrics
+    # exactly when the model is unsure.
+    cm = np.zeros((num_classes + 1, num_classes + 1))
     room_preds: dict[int, list] = defaultdict(list)
     room_truth: dict[int, list] = defaultdict(list)
     dumps: dict[int, list] = defaultdict(list)
@@ -120,8 +126,8 @@ def test(
         pred = np.asarray(pred)
         logits = np.asarray(logits)
         cm += np.asarray(
-            confusion_matrix(pred, batch.labels, num_classes,
-                             weights=batch.mask)
+            confusion_matrix(np.minimum(pred, num_classes), batch.labels,
+                             num_classes + 1, weights=batch.mask)
         )
         for i, room in enumerate(np.asarray(batch.room_idx)):
             valid = batch.mask[i] > 0
@@ -217,7 +223,9 @@ def test_all(
     bacc = float(balanced_accuracy_from_confusion(cm_sum))
     from dgcnn_tpu.ops.metrics import iou_from_confusion
 
-    ious = np.asarray(iou_from_confusion(cm_sum))
+    # the trailing row/col is the UNCLASSIFIED(31) bucket (see test()) —
+    # not a real class; slice it off the per-class IoUs
+    ious = np.asarray(iou_from_confusion(cm_sum))[: cm_sum.shape[0] - 1]
     io.cprint(
         "Overall Test :: test acc: %.6f, test avg acc: %.6f, test iou: %.6f"
         % (acc, bacc, float(np.nanmean(ious)))

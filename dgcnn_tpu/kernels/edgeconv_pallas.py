@@ -33,10 +33,6 @@ from jax.experimental.pallas import tpu as pltpu
 _SLOPE = 0.2
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 def _pick_unroll(rows: int, want: int) -> int:
     for u in (want, 8, 4, 2, 1):
         if rows % u == 0:
@@ -44,8 +40,9 @@ def _pick_unroll(rows: int, want: int) -> int:
     return 1
 
 
-# THE in-VMEM row-gather loop lives in gather_pallas (one tuned copy)
+# shared kernel helpers live in gather_pallas (one copy)
 from dgcnn_tpu.kernels.gather_pallas import (  # noqa: E402
+    _round_up,
     gather_rows_loop as _gather_to_scratch,
 )
 

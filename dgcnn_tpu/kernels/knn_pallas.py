@@ -177,8 +177,7 @@ def _vmem_budget_bytes() -> int:
     )
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from dgcnn_tpu.kernels.gather_pallas import _round_up  # shared helper
 
 
 def _knn_kernel_packed_split(

@@ -19,8 +19,14 @@ MIN_BLOCK_POINTS = 1000  # reference rejection threshold (pointcloud_util.py:162
 def sample_data(
     data: np.ndarray, num_sample: int, rng: np.random.Generator
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Subsample (with replacement) or duplicate up to exactly num_sample
-    (/root/reference/prepare_data/pointcloud_util.py:62-78)."""
+    """Subsample down (WITHOUT replacement) or duplicate up to exactly
+    num_sample (/root/reference/prepare_data/pointcloud_util.py:62-78).
+
+    Deliberate deviation (DESIGN.md tail): the reference's down-sampling
+    draw uses np.random.choice with replacement (pointcloud_util.py:73),
+    which discards extra points by duplicating others inside an
+    oversampled block; without replacement every kept point is distinct —
+    strictly more information per block, same block-size contract."""
     n = data.shape[0]
     if n == num_sample:
         return data, np.arange(n)

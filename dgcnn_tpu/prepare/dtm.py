@@ -178,16 +178,35 @@ def _dilate(mask: np.ndarray, iters: int) -> np.ndarray:
 
 
 def _fill_water_holes(grid: np.ndarray, has_data: np.ndarray) -> np.ndarray:
-    """Interior no-data holes -> min height of the hole's boundary ring."""
+    """INTERIOR no-data holes -> min height of the surrounding valid cells,
+    sweeping inward (Jacobi). No-data regions connected to the grid border
+    (the out-of-coverage margin) are NOT water and stay no-data —
+    filling them would fabricate terrain across the empty part of the
+    square region and corrupt boundary AGL."""
     out = grid.copy()
     hole = (grid == NO_DATA)
-    if not hole.any():
+    if not hole.any() or hole.all():
         return out
-    ring = _dilate(~hole, 1) & hole
-    if not (~hole).any():
+    # exterior = no-data 4-connected to the border (iterated dilation to
+    # fixpoint; the C++ twin uses an equivalent BFS)
+    ext = np.zeros_like(hole)
+    ext[0, :] = hole[0, :]
+    ext[-1, :] |= hole[-1, :]
+    ext[:, 0] |= hole[:, 0]
+    ext[:, -1] |= hole[:, -1]
+    for _ in range(hole.size):
+        p = np.pad(ext, 1)
+        grown = (
+            (p[:-2, 1:-1] | p[2:, 1:-1] | p[1:-1, :-2] | p[1:-1, 2:]) & hole
+        ) | ext
+        if (grown == ext).all():
+            break
+        ext = grown
+    interior = hole & ~ext
+    if not interior.any():
         return out
-    # simple flood: assign every hole cell the min of adjacent valid ring
-    # heights, iterating inward
+    # fill interior cells with the min of adjacent valid heights,
+    # iterating inward (double-buffered per full sweep)
     for _ in range(max(grid.shape)):
         p = np.pad(out, 1, constant_values=NO_DATA)
         neigh = np.stack([
@@ -195,7 +214,7 @@ def _fill_water_holes(grid: np.ndarray, has_data: np.ndarray) -> np.ndarray:
         ])
         neigh = np.where(neigh == NO_DATA, np.inf, neigh)
         fill = neigh.min(axis=0)
-        upd = (out == NO_DATA) & np.isfinite(fill)
+        upd = interior & (out == NO_DATA) & np.isfinite(fill)
         if not upd.any():
             break
         out[upd] = fill[upd]

@@ -180,19 +180,52 @@ Mask Dilate(const Mask& m, int iters) {
 }
 
 void FillWaterHoles(std::vector<float>* out, int edge) {
-  // interior no-data holes -> min of adjacent valid heights, sweeping inward.
+  // INTERIOR no-data holes -> min of adjacent valid heights, sweeping
+  // inward. No-data regions 4-connected to the grid border (the
+  // out-of-coverage margin) are NOT water and stay no-data — filling
+  // them would fabricate terrain over the empty part of the region.
   // Double-buffered (Jacobi): each iteration reads only the previous
   // iteration's grid, matching the numpy twin (_fill_water_holes in
   // dgcnn_tpu/prepare/dtm.py) — an in-place sweep would propagate values
   // right/down within one pass and fill asymmetric multi-cell holes with
   // different heights.
+  const size_t n = size_t(edge) * edge;
+  // exterior mask: BFS over no-data cells from the border (equivalent to
+  // the numpy twin's dilation-to-fixpoint)
+  std::vector<uint8_t> exterior(n, 0);
+  std::vector<size_t> stack;
+  auto push_if_hole = [&](int r, int c) {
+    size_t i = size_t(r) * edge + c;
+    if ((*out)[i] == kNoData && !exterior[i]) {
+      exterior[i] = 1;
+      stack.push_back(i);
+    }
+  };
+  for (int r = 0; r < edge; ++r) {
+    push_if_hole(r, 0);
+    push_if_hole(r, edge - 1);
+  }
+  for (int c = 0; c < edge; ++c) {
+    push_if_hole(0, c);
+    push_if_hole(edge - 1, c);
+  }
+  while (!stack.empty()) {
+    size_t i = stack.back();
+    stack.pop_back();
+    int r = int(i / edge), c = int(i % edge);
+    if (r > 0) push_if_hole(r - 1, c);
+    if (r + 1 < edge) push_if_hole(r + 1, c);
+    if (c > 0) push_if_hole(r, c - 1);
+    if (c + 1 < edge) push_if_hole(r, c + 1);
+  }
+
   std::vector<float> prev(*out);
   for (int it = 0; it < edge; ++it) {
     bool changed = false;
     for (int r = 0; r < edge; ++r)
       for (int c = 0; c < edge; ++c) {
         size_t i = size_t(r) * edge + c;
-        if (prev[i] != kNoData) continue;
+        if (prev[i] != kNoData || exterior[i]) continue;
         float best = std::numeric_limits<float>::infinity();
         auto consider = [&](int rr, int cc) {
           if (rr < 0 || cc < 0 || rr >= edge || cc >= edge) return;

@@ -245,3 +245,35 @@ def test_filter_noise_and_gen_agl_use_native(rng):
         want_agl = gen_agl(dtm_pts, xyz)
     np.testing.assert_array_equal(got, want_keep)
     np.testing.assert_allclose(agl, want_agl, atol=1e-9)
+
+
+def test_water_fill_ignores_exterior_margin():
+    """detect_water must fill only INTERIOR holes: a cloud occupying a
+    corner of the (square) region leaves a big out-of-coverage margin
+    that must stay NO_DATA — filling it would fabricate terrain and
+    corrupt boundary AGL (both numpy and native paths)."""
+    from dgcnn_tpu.prepare.dtm import _dtm_grid_native
+
+    rng = np.random.default_rng(3)
+    # points only in [0,20]x[0,20] of a 40x40 region; one interior hole
+    xy = rng.random((30000, 2)) * 20
+    hole = ((xy[:, 0] > 8) & (xy[:, 0] < 11)
+            & (xy[:, 1] > 8) & (xy[:, 1] < 11))
+    xy = xy[~hole]
+    z = 0.1 * xy[:, 0]
+    pts = np.column_stack([xy, z])
+
+    ours = dtm_grid(pts, 0.0, 0.0, 40.0, cell_size=1.0,
+                    seed_cell_size=10.0, boundary_block_width=2,
+                    detect_water=True, remove_buildings=False)
+    # interior hole filled...
+    assert (ours[9:11, 9:11] != NO_DATA).all()
+    # ...but the far out-of-coverage corner stays no-data
+    assert (ours[30:, 30:] == NO_DATA).all()
+
+    native = _dtm_grid_native(pts, 0.0, 0.0, 40.0, 1.0, 10.0, 2, True,
+                              False)
+    if native is not None:
+        np.testing.assert_array_equal(native == NO_DATA, ours == NO_DATA)
+        both = (native != NO_DATA)
+        np.testing.assert_allclose(native[both], ours[both], atol=1e-3)

@@ -439,3 +439,49 @@ def test_predict_point_sharded_whole_cloud(tmp_path):
     want = np.asarray(jnp.argmax(logits[0], -1))
     agree = (want == pred).mean()
     assert agree > 0.999, agree
+
+
+def test_eval_counts_thresholded_points_as_wrong(tmp_path):
+    """Confidence-thresholded UNCLASSIFIED(31) predictions must count as
+    WRONG in accuracy/balanced accuracy (reference scores all points,
+    /root/reference/test.py:164-165) — with an impossible confidence bar
+    every point is thresholded and accuracy is exactly 0."""
+    import numpy as np
+
+    from dgcnn_tpu.eval.test import test as run_test
+    from dgcnn_tpu.models.dgcnn import DGCNNConfig
+    from dgcnn_tpu.train.checkpoint import save_checkpoint
+    from dgcnn_tpu.train.steps import init_train_state, make_optimizer
+    from dgcnn_tpu.utils.logging import IOStream
+    import jax
+
+    rng = np.random.default_rng(0)
+    data_dir = tmp_path / "rooms"
+    data_dir.mkdir()
+    for i in range(2):
+        pts = rng.random((200, 4)) * 30
+        labels = rng.integers(0, 3, (200, 1))
+        np.save(data_dir / f"Area_{i}.npy", np.hstack([pts, labels]))
+
+    cfg = DGCNNConfig(num_classes=3, num_features=4, k=5, emb_dims=32)
+    tx = make_optimizer()
+    state = init_train_state(jax.random.key(0), cfg, tx)
+    save_checkpoint(str(tmp_path / "m.npz"), state)
+    io = IOStream(str(tmp_path / "log.txt"))
+
+    kwargs = dict(
+        data_dir=str(data_dir), num_points=32, num_classes=3,
+        num_features=4, emb_dims=32, test_batch_size=2, model_label="m",
+        model_root=str(tmp_path), knn_impl="xla",
+        pred_dir=str(tmp_path / "pred"), validation_prop=0.5, seed=1,
+    )
+    hard = run_test(5, io, min_class_confidence=1.01, **kwargs)
+    assert hard["accuracy"] == 0.0
+    assert hard["balanced_accuracy"] == 0.0
+    # the (C+1)-wide matrix carries the thresholded counts in the last col
+    assert hard["confusion"].shape == (4, 4)
+    assert hard["confusion"][:, -1].sum() > 0
+
+    easy = run_test(5, io, min_class_confidence=0.0, **kwargs)
+    assert easy["accuracy"] > 0.0
+    assert easy["confusion"][:, -1].sum() == 0
