@@ -136,6 +136,13 @@ class DGCNNConfig:
             raise ValueError(
                 f"fuse_epilogue {self.fuse_epilogue!r} must be "
                 "True, False or 'auto'")
+        if not isinstance(self.knn_train_unroll, bool):
+            # "auto" resolution lives in train/loop.py (it needs the
+            # cache-warm marker context); a string here would be silently
+            # truthy and trigger the expensive unrolled compile
+            raise ValueError(
+                f"knn_train_unroll {self.knn_train_unroll!r} must be a "
+                "bool on DGCNNConfig ('auto' is resolved by train())")
 
     @property
     def _fuse_on(self) -> bool:

@@ -18,8 +18,9 @@ from dgcnn_tpu.postprocess.prob_map import add_probability_columns
 
 
 def _xyz_keys(a: np.ndarray) -> np.ndarray:
-    """View the first 3 float columns as a structured key per row."""
-    xyz = np.ascontiguousarray(a[:, :3])
+    """View the first 3 columns as a structured key per row (cast to f64:
+    a f32 view over the 24-byte struct would raise an opaque ValueError)."""
+    xyz = np.ascontiguousarray(a[:, :3], np.float64)
     return xyz.view([("x", float), ("y", float), ("z", float)]).reshape(-1)
 
 
@@ -40,8 +41,14 @@ def combine_rooms(room1: np.ndarray, room2: np.ndarray) -> np.ndarray:
     pred1 = r1[:, 6].astype(int)
     pred2 = r2[:, 6].astype(int)
     rows = np.arange(len(r1))
-    prob1 = r1[rows, 8 + pred1]
-    prob2 = r2[rows, 8 + pred2]
+    n_prob = r1.shape[1] - 8
+    # UNCLASSIFIED(31) predictions (confidence-thresholded by eval) have
+    # no probability column — give them prob 0 so they always LOSE the
+    # fusion vote (a confident prediction from the other scale wins)
+    in1 = (pred1 >= 0) & (pred1 < n_prob)
+    in2 = (pred2 >= 0) & (pred2 < n_prob)
+    prob1 = np.where(in1, r1[rows, 8 + np.where(in1, pred1, 0)], 0.0)
+    prob2 = np.where(in2, r2[rows, 8 + np.where(in2, pred2, 0)], 0.0)
     pred = np.where(
         pred1 == pred2, pred1, np.where(prob1 >= prob2, pred1, pred2)
     )

@@ -14,12 +14,18 @@ from dgcnn_tpu.io.las import write_las
 
 
 def predictions_to_las(pred_file: str, las_file: str):
-    """One dump file → one LAS (/root/reference/predictions.py:8-24)."""
+    """One dump file → one LAS (/root/reference/predictions.py:8-24).
+
+    Handles both dump layouts eval/test.py writes under the same
+    ``*_pred_gt.txt`` name: 4 columns (x y z pred) by default, or the
+    ``dump_logits=True`` layout (xyz, 3 feature cols, pred, gt, logits)
+    where pred lives in column 6 — reading column 3 there would silently
+    export the AGL feature as the LAS classification."""
     rows = np.loadtxt(pred_file)
     if rows.ndim == 1:
         rows = rows[None]
     points = rows[:, 0:3]
-    labels = rows[:, 3]
+    labels = rows[:, 3] if rows.shape[1] <= 4 else rows[:, 6]
     write_las(las_file, points[:, 0], points[:, 1], points[:, 2], labels)
     return points, labels
 

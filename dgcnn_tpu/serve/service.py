@@ -44,8 +44,14 @@ class PredictService:
 
     def __init__(self, k: int, io: IOStream | None = None,
                  **predict_kwargs: Any):
+        import sys
+
         self.k = k
-        self.io = io or IOStream(os.devnull)
+        # default logger: file side to /dev/null, stream side to STDERR —
+        # IOStream(stream=None) would print() to stdout, corrupting any
+        # embedding app with a machine-readable stdout (e.g. bench.py's
+        # one-JSON-line contract)
+        self.io = io or IOStream(os.devnull, stream=sys.stderr)
         self.kwargs = predict_kwargs
         self.started = time.time()
         self.processed = 0
@@ -123,7 +129,11 @@ def serve_directory(
     ``out_dir``.
 
     A tile ``name.las`` produces ``out_dir/name.las`` (classified) and
-    ``out_dir/name.json`` (stats sidecar). A tile is skipped when its
+    ``out_dir/name.las.json`` (stats sidecar — keyed on the FULL input
+    filename so ``status.las`` cannot collide with the ``status.json``
+    heartbeat and ``a.las``/``a.h5`` keep distinct sidecars; non-.las
+    inputs classify to ``name.las`` with the extension kept, e.g.
+    ``a.h5.las``). A tile is skipped when its
     sidecar already exists (idempotent restarts) and is not picked up
     until its mtime is at least ``settle_s`` old (half-written uploads).
     Failures write ``failed_dir/name.error.json`` and never stop the
@@ -144,9 +154,8 @@ def serve_directory(
             if f.lower().endswith(_INPUT_EXTS)
         )
         for name in names:
-            stem = os.path.splitext(name)[0]
-            sidecar = os.path.join(out_dir, stem + ".json")
-            err_path = os.path.join(failed_dir, stem + ".error.json")
+            sidecar = os.path.join(out_dir, name + ".json")
+            err_path = os.path.join(failed_dir, name + ".error.json")
             if os.path.exists(sidecar) or os.path.exists(err_path):
                 continue
             src = os.path.join(in_dir, name)
@@ -156,7 +165,9 @@ def serve_directory(
                 continue  # deleted/renamed between listdir and here
             if time.time() - mtime < settle_s:
                 continue  # possibly still uploading
-            out_las = os.path.join(out_dir, stem + ".las")
+            out_name = (name if name.lower().endswith(".las")
+                        else name + ".las")
+            out_las = os.path.join(out_dir, out_name)
             attempted += 1
             try:
                 stats = service.classify_file(src, out_las)

@@ -47,8 +47,14 @@ def enable_persistent_compilation_cache(cache_dir: str | None = None) -> str | N
 # same program shape (an explicit --knn_train_unroll=1 run seeds it).
 
 
-def _warm_dir() -> str:
+def _warm_dir() -> str | None:
+    """Marker directory, or None when the persistent cache is DISABLED
+    (DGCNN_JAX_CACHE_DIR="") — markers must track the cache: a marker
+    without the cached program behind it would promise a ~2 s compile and
+    deliver the full one."""
     env = os.environ.get("DGCNN_JAX_CACHE_DIR")
+    if env == "":
+        return None
     base = env or os.path.join(
         os.path.expanduser("~"), ".cache", "dgcnn_tpu", "jax"
     )
@@ -72,11 +78,14 @@ def warm_key(tag: str, *parts) -> str:
 
 
 def is_warm(key: str) -> bool:
-    return os.path.exists(os.path.join(_warm_dir(), key))
+    d = _warm_dir()
+    return d is not None and os.path.exists(os.path.join(d, key))
 
 
 def mark_warm(key: str) -> None:
     d = _warm_dir()
+    if d is None:
+        return
     try:
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, key), "w") as f:

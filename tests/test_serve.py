@@ -61,7 +61,7 @@ def test_serve_directory_classifies_and_reports(service, tmp_path):
     assert n == 2
     for stem in ("tile_a", "tile_b"):
         assert (out_dir / f"{stem}.las").exists()
-        stats = json.loads((out_dir / f"{stem}.json").read_text())
+        stats = json.loads((out_dir / f"{stem}.las.json").read_text())
         assert stats["points"] > 0 and stats["seconds"] > 0
     status = json.loads((out_dir / "status.json").read_text())
     assert status["processed"] == 2 and status["failed"] == 0
@@ -86,7 +86,7 @@ def test_serve_directory_isolates_failures(service, tmp_path):
     assert n == 1
     assert (out_dir / "good.las").exists()
     err = json.loads(
-        (out_dir / "failed" / "corrupt.error.json").read_text())
+        (out_dir / "failed" / "corrupt.las.error.json").read_text())
     assert "error" in err
     status = json.loads((out_dir / "status.json").read_text())
     assert status["failed"] == 1 and status["processed"] == 1
@@ -135,7 +135,7 @@ def test_serve_empty_tile_is_not_a_failure(service, tmp_path):
     n = serve_directory(service, str(in_dir), str(out_dir), once=True,
                         settle_s=0.0)
     assert n == 1
-    stats = json.loads((out_dir / "sparse.json").read_text())
+    stats = json.loads((out_dir / "sparse.las.json").read_text())
     assert stats["points"] == 0 and stats["output"] is None
     status = json.loads((out_dir / "status.json").read_text())
     assert status["failed"] == 0 and status["processed"] == 1
@@ -157,5 +157,5 @@ def test_bounded_run_with_failures_terminates(service, tmp_path):
                         settle_s=0.0, max_tiles=3, poll_s=0.1)
     assert n == 1
     assert (out_dir / "ok.las").exists()
-    assert (out_dir / "failed" / "bad1.error.json").exists()
-    assert (out_dir / "failed" / "bad2.error.json").exists()
+    assert (out_dir / "failed" / "bad1.las.error.json").exists()
+    assert (out_dir / "failed" / "bad2.las.error.json").exists()
