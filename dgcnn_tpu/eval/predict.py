@@ -82,6 +82,7 @@ def predict(
     model_root: str = "checkpoints/dgcnn",
     batch_size: int = 8,
     knn_impl: str = "auto",
+    knn_band: int | None = None,
     compute_dtype: str | None = None,
     matmul_precision: str | None = None,
     save_block_las: bool = False,
@@ -118,6 +119,7 @@ def predict(
         num_classes=num_classes, num_features=num_features, k=k,
         dropout=dropout, emb_dims=emb_dims, knn_impl=knn_impl,
         compute_dtype=compute_dtype, matmul_precision=matmul_precision,
+        **({} if knn_band is None else {"knn_band": knn_band}),
     )
     params, bn_state = _restore(cfg, model_root, model_label, io)
     predict_step = make_predict_step(

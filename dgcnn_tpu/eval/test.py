@@ -80,6 +80,7 @@ def test(
     test_area: str = "1",
     seed: int = 1,
     knn_impl: str = "auto",
+    knn_band: int | None = None,
     compute_dtype: str | None = None,
     matmul_precision: str | None = None,
     dump_logits: bool = False,
@@ -92,6 +93,7 @@ def test(
         num_classes=num_classes, num_features=num_features, k=k,
         dropout=dropout, emb_dims=emb_dims, knn_impl=knn_impl,
         compute_dtype=compute_dtype, matmul_precision=matmul_precision,
+        **({} if knn_band is None else {"knn_band": knn_band}),
     )
     dataset = FugroDataset(
         "test", data_dir, num_point=num_points,
@@ -263,6 +265,7 @@ def test_args(args, io: IOStream) -> dict:
             pred_dir=args.test_visu_dir,
             seed=args.seed,
             knn_impl=getattr(args, "knn_impl", "auto"),
+            knn_band=getattr(args, "knn_band", None),
             compute_dtype=getattr(args, "compute_dtype", None),
             matmul_precision=getattr(args, "matmul_precision", None),
             validation_prop=args.validation_prop,
@@ -285,6 +288,7 @@ def test_args(args, io: IOStream) -> dict:
         test_area=getattr(args, "validation_area", "1"),
         seed=args.seed,
         knn_impl=getattr(args, "knn_impl", "auto"),
+        knn_band=getattr(args, "knn_band", None),
         compute_dtype=getattr(args, "compute_dtype", None),
         matmul_precision=getattr(args, "matmul_precision", None),
         validation_prop=args.validation_prop,

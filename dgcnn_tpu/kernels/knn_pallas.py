@@ -388,6 +388,127 @@ def _knn_kernel_packed_capped(
         jax.lax.fori_loop(0, kr, merge_body, m0m, unroll=unroll_merge)
 
 
+def _knn_kernel_banded(
+    start_ref, x_ref, q_ref, cnorm_ref, idx_ref, key_ref, packed_scr,
+    win_scr, *, band, n_win, cap, k_pad, n_pad, k_real, idx_bits,
+    unroll_cap=0, unroll_merge=0,
+):
+    """Banded capped extraction for SORTED point clouds (stage-1 kNN).
+
+    Production blocks are x-sorted (data/dataset.py::sort_points), so a
+    query's true neighbours live near it in row order: every candidate
+    outside a contiguous row band [start, start+band) has squared
+    distance >= (x_q - x_edge)^2 (the coordinate-sorted lower bound). The
+    kernel therefore scores only the ``band`` rows around each query tile
+    — ~n_pad/band-fold less matmul AND extraction work than the full
+    capped kernel (/root/reference/model.py:25-40 scores all N^2 pairs).
+
+    Exactness is certified per query OUTSIDE the kernel: the kth winner's
+    packed key (written to ``key_ref``) is compared against the packed
+    band-edge bound; failing queries (sparse regions — measured 0.09% on
+    realistic ALS tiles at band=3072, 0% on uniform blocks) are re-solved
+    f32-exactly by the caller (:func:`knn_pallas_banded`). Certified rows
+    carry the capped-class approximation only (in-band per-window cap
+    overflow, a deep Poisson tail at lambda = k/n_win ~ 0.94).
+
+    Layout: scores are computed TRANSPOSED, (band, qt) — and the window
+    split is the free major-axis reshape (band, qt) ->
+    (band//n_win, n_win, qt), which lands row r in window ``r % n_win``:
+    index-adjacent (spatially adjacent) candidates round-robin across
+    windows, so no host-side stride permutation of the table is needed
+    (the full capped kernel pre-permutes in HBM). Per-window top-cap
+    chains reduce over the LEADING axis (cross-vreg elementwise max).
+
+    start_ref: (1, 1, 1) SMEM — this tile's 128-aligned band start row.
+    key_ref:   (1, 1, qt) — the k-th winner's packed key per query.
+    """
+    start = start_ref[0, 0, 0]
+    q = q_ref[0]
+    xb = x_ref[0, pl.dslice(start, band), :]          # (band, c_pad)
+    cnb = cnorm_ref[0, pl.dslice(start, band), :]     # (band, 1)
+    scores = 2.0 * jax.lax.dot_general(
+        xb, q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) - cnb                                           # (band, qt)
+    scores = scores - jnp.sum(q * q, axis=1)[None, :]
+    qt = q.shape[0]
+    bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    key = jnp.where(bits >= 0, bits, jnp.int32(-0x80000000) - bits) >> 1
+    imask = jnp.int32((1 << idx_bits) - 1)
+    # in-band row r packs (band-1-r): max over equal scores -> lowest row
+    # (= lowest original index; the band is a contiguous slice of the
+    # original order), matching lax.top_k tie order
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (band, qt), 0)
+    packed = (key & ~imask) | (jnp.int32(band - 1) - r_iota)
+
+    w_sz = band // n_win
+    int_min = jnp.int32(-0x80000000)
+    packed_scr[:] = packed.reshape(w_sz, n_win, qt)
+
+    upper = jnp.int32((1 << 30) + 1)
+    m0 = jnp.full((1, n_win, qt), upper)
+    if unroll_cap == 0:
+        m_prev = m0
+        for j in range(cap):
+            t = packed_scr[:] - (m_prev + int_min)
+            t_max = jnp.max(t, axis=0, keepdims=True)
+            m_prev = m_prev + (t_max + int_min)
+            win_scr[pl.dslice(j, 1), :, :] = m_prev
+    else:
+        u = unroll_cap if cap % unroll_cap == 0 else 1
+
+        def body(i, m_prev):
+            base = i * u
+            m = m_prev
+            for t_off in range(u):
+                t = packed_scr[:] - (m + int_min)
+                t_max = jnp.max(t, axis=0, keepdims=True)
+                m = m + (t_max + int_min)
+                win_scr[pl.dslice(base + t_off, 1), :, :] = m
+            return m
+
+        jax.lax.fori_loop(0, cap // u, body, m0, unroll=False)
+
+    # merge: global top-k over the (cap, n_win, qt) winners
+    m0m = jnp.full((1, 1, qt), upper)
+    if unroll_merge == 0:
+        m = m0m
+        cols = []
+        for _ in range(k_real):
+            t = win_scr[:] - (m + int_min)
+            t_max = jnp.max(
+                jnp.max(t, axis=0, keepdims=True), axis=1, keepdims=True
+            )
+            m = m + (t_max + int_min)
+            cols.append(start + jnp.int32(band - 1) - (m & imask))
+        out = jnp.concatenate(cols, axis=1)[0]        # (k_real, qt)
+        if k_real < k_pad:
+            out = jnp.concatenate(
+                [out, jnp.zeros((k_pad - k_real, qt), jnp.int32)], axis=0
+            )
+        idx_ref[0] = out
+        key_ref[0] = m[0]
+    else:
+        def merge_body(j, m):
+            t = win_scr[:] - (m + int_min)
+            t_max = jnp.max(
+                jnp.max(t, axis=0, keepdims=True), axis=1, keepdims=True
+            )
+            m = m + (t_max + int_min)
+            col = start + jnp.int32(band - 1) - (m & imask)
+            idx_ref[0, pl.dslice(j, 1), :] = col[0]
+            return m
+
+        m = jax.lax.fori_loop(0, k_real, merge_body, m0m,
+                              unroll=unroll_merge)
+        key_ref[0] = m[0]
+        if k_real < k_pad:
+            idx_ref[0, pl.dslice(k_real, k_pad - k_real), :] = jnp.zeros(
+                (k_pad - k_real, qt), jnp.int32
+            )
+
+
 def _knn_kernel_packed(
     x_ref, q_ref, cnorm_ref, idx_ref, packed_scr, idx_scr, *, k_pad, n_pad,
     unroll=1, k_real=None, idx_bits=13,
@@ -512,6 +633,7 @@ def knn_pallas(
     window: int = 256,
     unroll_cap: int = 1,
     unroll_merge: int = 0,
+    queries: jax.Array | None = None,
 ) -> jax.Array:
     """Public wrapper: defaults ``interpret`` to True off-TPU so the same
     model config runs under CPU tests and the TPU Mosaic path in prod.
@@ -531,7 +653,10 @@ def knn_pallas(
     only 1 or the full trip count). Measured v5e @ B=8,N=7000: unrolled
     cap loop 7.3 ms/call vs fori 8.8; compile ~2 s vs ~0.4 s per kernel
     instance standalone, but minutes vs seconds inside the full train
-    program (scripts/exp_capped_unroll.py)."""
+    program (scripts/exp_capped_unroll.py). ``queries`` (B, M, C) asks
+    for the k nearest rows OF ``x`` for each query row instead of
+    self-kNN — the repair path of :func:`knn_pallas_banded` uses this
+    with the f32-exact kernel."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if query_tile is None:
@@ -550,6 +675,12 @@ def knn_pallas(
     while query_tile > 64 and query_tile * n_pad * 4 > vmem_budget:
         query_tile //= 2
     if query_tile * n_pad * 4 > vmem_budget:
+        if queries is not None:
+            raise ValueError(
+                f"n={x.shape[1]} exceeds the kernel VMEM budget for the "
+                "queries variant (no chunked-XLA fallback takes separate "
+                "queries)"
+            )
         from dgcnn_tpu.ops.knn import knn as knn_xla
 
         return knn_xla(x, k, query_chunk=1024)
@@ -571,8 +702,9 @@ def knn_pallas(
         cap = 0
     # indices are discrete — no tangents flow (and pallas_call has no JVP)
     x = jax.lax.stop_gradient(x)
+    q = x if queries is None else jax.lax.stop_gradient(queries)
     return _knn_pallas_jit(
-        x, k, query_tile=query_tile, interpret=interpret, packed=packed,
+        x, q, k, query_tile=query_tile, interpret=interpret, packed=packed,
         splits=splits, cap=cap, window=window, unroll_cap=unroll_cap,
         unroll_merge=unroll_merge,
     )  # idx_bits re-derived inside from the padded length
@@ -587,6 +719,7 @@ def knn_pallas(
 )
 def _knn_pallas_jit(
     x: jax.Array,
+    q: jax.Array,
     k: int,
     *,
     query_tile: int = 256,
@@ -598,19 +731,21 @@ def _knn_pallas_jit(
     unroll_cap: int = 1,
     unroll_merge: int = 0,
 ) -> jax.Array:
-    """Exact k nearest neighbours (self included) via the fused kernel.
+    """Exact k nearest neighbours via the fused kernel.
 
     Args:
-        x: (B, N, C) point features.
+        x: (B, N, C) candidate point features.
+        q: (B, M, C) query rows (pass ``x`` for self-kNN).
         k: neighbourhood size.
         query_tile: query rows per program (VMEM ≈ QT x N_pad x 4 bytes
             for the score tile).
         interpret: run in the Pallas interpreter (CPU tests).
 
     Returns:
-        (B, N, k) int32 indices, nearest first, ties to the lower index.
+        (B, M, k) int32 indices, nearest first, ties to the lower index.
     """
     b, n, c = x.shape
+    m = q.shape[1]
     if k > n:
         raise ValueError(f"k={k} exceeds number of points {n}")
     n_pad = _round_up(n, window if cap else 128)
@@ -618,11 +753,12 @@ def _knn_pallas_jit(
     c_pad = max(_round_up(c, 8), 8)
     k_pad = _round_up(k, 8)
     qt = min(query_tile, n_pad)
-    n_q_pad = _round_up(n, qt)
+    n_q_pad = _round_up(m, qt)
 
     xf = x.astype(jnp.float32)
     xp = jnp.pad(xf, ((0, 0), (0, n_pad - n), (0, c_pad - c)))
-    qp = jnp.pad(xf, ((0, 0), (0, n_q_pad - n), (0, c_pad - c)))
+    qp = jnp.pad(q.astype(jnp.float32),
+                 ((0, 0), (0, n_q_pad - m), (0, c_pad - c)))
     if cap:
         # Stride-disperse candidate rows: original index o lands in
         # window (o mod W), so spatially-adjacent (index-adjacent) points
@@ -678,7 +814,7 @@ def _knn_pallas_jit(
             ),
             interpret=interpret,
         )(xp, qp, cnorm[:, :, None], inv_col)
-        return jnp.swapaxes(out, 1, 2)[:, :n, :k]
+        return jnp.swapaxes(out, 1, 2)[:, :m, :k]
     if packed and splits > 1 and n_pad % splits == 0:
         kernel = functools.partial(
             _knn_kernel_packed_split, k_pad=k_pad, n_pad=n_pad,
@@ -720,4 +856,206 @@ def _knn_pallas_jit(
         ),
         interpret=interpret,
     )(xp, qp, cnorm[:, None, :])
-    return out[:, :n, :k]
+    return out[:, :m, :k]
+
+
+# ------------------------------------------------------------- banded kNN
+def _band_starts(n_q_pad: int, qt: int, n_pad: int, band: int):
+    """128-aligned band start row per query tile (static)."""
+    import numpy as np
+
+    starts = []
+    for i in range(n_q_pad // qt):
+        raw = i * qt + qt // 2 - band // 2
+        raw = (raw // 128) * 128   # keep the dynamic VMEM slice aligned
+        starts.append(int(np.clip(raw, 0, n_pad - band)))
+    return starts
+
+
+def knn_pallas_banded(
+    x: jax.Array,
+    k: int,
+    *,
+    band: int = 3072,
+    n_win: int = 32,
+    cap: int = 8,
+    repair_budget: int = 256,
+    query_tile: int | None = None,
+    unroll_cap: int = 0,
+    unroll_merge: int = 0,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Stage-1 (spatial) kNN exploiting x-sorted row order.
+
+    Scores only a contiguous ``band`` of rows around each query tile
+    (sorted order ⇒ rows outside the band are at squared distance
+    >= (x_q - x_edge)^2), certifies every query against that bound using
+    the kernel's k-th winner key, and re-solves the rare failures
+    (sparse regions) f32-EXACTLY with the queries variant of the flat
+    kernel. Self-guarding fallbacks to the full capped kernel: unsorted
+    input (the bound needs sorted x), more failures than
+    ``repair_budget`` in any batch element, or inputs too small to band.
+
+    Semantics: certified rows carry the capped-kernel approximation
+    class (19-bit packed keys here vs the full kernel's 18-bit; in-band
+    window-cap overflow is a deep Poisson tail at lambda = k/n_win
+    ~ 0.94); failed rows are f32-exact. Certificate feasibility measured
+    on realistic ALS tiles: 99.915% certified at band=3072 (0 failures
+    on uniform 30 m bench blocks). Replaces the reference's full
+    (B, N, N) scoring (/root/reference/model.py:25-40) for the spatial
+    stage only — feature-space stages (2-3) measured too de-localised to
+    band (x2 neighbour recall 0.996 at band=3072).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, c = x.shape
+    if k > n:
+        raise ValueError(f"k={k} exceeds number of points {n}")
+    if band % 256 or band % n_win:
+        raise ValueError("band must be a multiple of 256 and of n_win")
+    if n_win * cap < k:
+        raise ValueError(
+            f"extraction capacity n_win*cap={n_win * cap} < k={k}")
+    n_pad = _round_up(n, 128)
+    if n_pad <= band or band - (n_pad - n) < k:
+        # nothing to band (or too few real rows per band): the flat
+        # capped kernel is the right tool at these sizes
+        return knn_pallas(x, k, packed=True, cap=cap,
+                          unroll_cap=min(unroll_cap, 1),
+                          unroll_merge=unroll_merge, interpret=interpret)
+    if query_tile is None:
+        query_tile = _default_query_tile(True)
+    qt = min(query_tile, band)
+    x = jax.lax.stop_gradient(x)
+
+    x0 = x[..., 0].astype(jnp.float32)
+    sorted_ok = jnp.all(x0[:, 1:] >= x0[:, :-1])
+
+    def _capped(_):
+        return knn_pallas(x, k, packed=True, cap=cap,
+                          unroll_cap=min(unroll_cap, 1),
+                          unroll_merge=unroll_merge, interpret=interpret)
+
+    def _banded(_):
+        idx, keys = _knn_banded_jit(
+            x, k, band=band, n_win=n_win, cap=cap, query_tile=qt,
+            unroll_cap=unroll_cap, unroll_merge=unroll_merge,
+            interpret=interpret,
+        )
+        idx_bits = (band - 1).bit_length()
+        imask = jnp.int32((1 << idx_bits) - 1)
+        n_q_pad = _round_up(n, qt)
+        starts = _band_starts(n_q_pad, qt, n_pad, band)
+        s_arr = jnp.asarray(starts, jnp.int32)           # (nq,)
+        s_q = jnp.repeat(s_arr, qt)[:n]                  # (n,)
+        lo_i = jnp.clip(s_arr - 1, 0, n - 1)
+        hi_i = jnp.clip(s_arr + band, 0, n - 1)
+        xlo = jnp.repeat(jnp.take(x0, lo_i, axis=1), qt, axis=1)[:, :n]
+        xhi = jnp.repeat(jnp.take(x0, hi_i, axis=1), qt, axis=1)[:, :n]
+        inf = jnp.float32(jnp.inf)
+        bound_lo = jnp.where(s_q > 0, (x0 - xlo) ** 2, inf)
+        bound_hi = jnp.where(s_q + band < n, (xhi - x0) ** 2, inf)
+        s_edge = -jnp.minimum(bound_lo, bound_hi)        # (B, n) f32
+        bits = jax.lax.bitcast_convert_type(s_edge, jnp.int32)
+        key_edge = jnp.where(
+            bits >= 0, bits, jnp.int32(-0x80000000) - bits
+        ) >> 1
+        # floor-quantized compare with a one-quantum margin: implies the
+        # true k-th score strictly exceeds the edge bound (conservative —
+        # quantization can only ADD repairs, never hide one)
+        cert = (keys & ~imask) >= (
+            (key_edge & ~imask) + jnp.int32(1 << idx_bits)
+        )
+        fail = ~cert                                     # (B, n) bool
+        counts = jnp.sum(fail, axis=1)
+        r_budget = min(repair_budget, n)
+        vals, pos = jax.lax.top_k(fail.astype(jnp.int32), r_budget)
+        qf = jnp.take_along_axis(x, pos[..., None], axis=1)  # (B, R, C)
+        rep = knn_pallas(x, k, packed=False, interpret=interpret,
+                         queries=qf)                     # f32-exact
+        cur = jnp.take_along_axis(idx, pos[..., None], axis=1)
+        new = jnp.where(vals[..., None] > 0, rep, cur)
+        bi = jnp.arange(b)[:, None]
+        repaired = idx.at[bi, pos].set(new)
+        return jax.lax.cond(
+            jnp.all(counts <= r_budget), lambda _: repaired, _capped, None
+        )
+
+    return jax.lax.cond(sorted_ok, _banded, _capped, None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "band", "n_win", "cap", "query_tile",
+                     "unroll_cap", "unroll_merge", "interpret"),
+)
+def _knn_banded_jit(
+    x: jax.Array,
+    k: int,
+    *,
+    band: int,
+    n_win: int,
+    cap: int,
+    query_tile: int,
+    unroll_cap: int = 0,
+    unroll_merge: int = 0,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Raw banded kernel: ((B, N, k) indices, (B, N) k-th packed keys)."""
+    b, n, c = x.shape
+    n_pad = _round_up(n, 128)
+    c_pad = max(_round_up(c, 8), 8)
+    k_pad = _round_up(k, 8)
+    qt = query_tile
+    n_q_pad = _round_up(n, qt)
+    idx_bits = (band - 1).bit_length()
+
+    xf = x.astype(jnp.float32)
+    xp = jnp.pad(xf, ((0, 0), (0, n_pad - n), (0, c_pad - c)))
+    qp = jnp.pad(xf, ((0, 0), (0, n_q_pad - n), (0, c_pad - c)))
+    cnorm = jnp.sum(xp * xp, axis=-1)                    # (B, N_pad)
+    cnorm = jnp.where(jnp.arange(n_pad)[None, :] >= n, jnp.inf, cnorm)
+    starts = jnp.asarray(
+        _band_starts(n_q_pad, qt, n_pad, band), jnp.int32
+    ).reshape(-1, 1, 1)                                  # (nq, 1, 1)
+
+    kernel = functools.partial(
+        _knn_kernel_banded, band=band, n_win=n_win, cap=cap, k_pad=k_pad,
+        n_pad=n_pad, k_real=k, idx_bits=idx_bits, unroll_cap=unroll_cap,
+        unroll_merge=unroll_merge,
+    )
+    nq = n_q_pad // qt
+    idx_out, key_out = pl.pallas_call(
+        kernel,
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda bi, qi: (qi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_pad, c_pad), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qt, c_pad), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 1), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k_pad, qt), lambda bi, qi: (bi, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, qt), lambda bi, qi: (bi, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k_pad, n_q_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, n_q_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((band // n_win, n_win, qt), jnp.int32),
+            pltpu.VMEM((cap, n_win, qt), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+        ),
+        interpret=interpret,
+    )(starts, xp, qp, cnorm[:, :, None])
+    idx = jnp.swapaxes(idx_out, 1, 2)[:, :n, :k]
+    return idx, key_out[:, 0, :n]

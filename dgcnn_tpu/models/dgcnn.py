@@ -81,6 +81,17 @@ class DGCNNConfig:
     # inside the train program — worthwhile once the persistent
     # compilation cache is warm for your config; eval always unrolls).
     knn_train_unroll: bool = False
+    # Banded stage-1 kNN (kernels/knn_pallas.py::knn_pallas_banded):
+    # score only this many x-sorted rows around each query tile, certify
+    # per query against the sorted-order distance bound and repair the
+    # rare failures f32-exactly. 0 disables (full capped kernel). Only
+    # used when knn_impl resolves to "pallas_capped"; must be a multiple
+    # of 256. Unsorted inputs self-detect and fall back at runtime.
+    # Default 2048 = the measured-best band (forward 27.9 vs 28.5 ms,
+    # train step 80.9 vs 82.6; trained argmax agreement vs f32-exact
+    # 0.999946 >= the capped kernel's own 0.999929 — scripts/
+    # exp_banded2.py log 2026-08-17).
+    knn_band: int = 2048
     # Fused eval EdgeConv stage kernels with in-kernel gather
     # (kernels/edgeconv_pallas.py): the (B,N,k,C) gathered tensor never
     # touches HBM — measured ~2x per stage vs the XLA chain, bit-exact.
@@ -136,6 +147,12 @@ class DGCNNConfig:
             raise ValueError(
                 f"fuse_epilogue {self.fuse_epilogue!r} must be "
                 "True, False or 'auto'")
+        if (not isinstance(self.knn_band, int)
+                or isinstance(self.knn_band, bool)
+                or self.knn_band < 0 or self.knn_band % 256):
+            raise ValueError(
+                f"knn_band {self.knn_band!r} must be a non-negative "
+                "multiple of 256")
         if not isinstance(self.knn_train_unroll, bool):
             # "auto" resolution lives in train/loop.py (it needs the
             # cache-warm marker context); a string here would be silently
@@ -264,7 +281,8 @@ def _mm(x: jax.Array, w: jax.Array, cdtype) -> jax.Array:
     return jnp.einsum("...c,cd->...d", x, w, preferred_element_type=jnp.float32)
 
 
-def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False) -> jax.Array:
+def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
+         spatial: bool = False) -> jax.Array:
     impl = cfg.knn_impl
     if impl == "auto":
         # TPU: the hierarchical capped packed kernel for BOTH training and
@@ -278,6 +296,23 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False) -> jax.Array:
             impl = "pallas_capped"
         else:
             impl = "xla"
+    if impl == "pallas_capped" and spatial and cfg.knn_band:
+        # Stage-1 kNN runs in COORDINATE space on x-sorted rows: the
+        # banded kernel scores only knn_band rows around each query tile
+        # (certified exact-or-repaired against the sorted-order distance
+        # bound; unsorted inputs self-detect and fall back). Feature-space
+        # stages (2-3) stay on the full capped kernel — measured too
+        # de-localised to band (kernels/knn_pallas.py).
+        from dgcnn_tpu.kernels.knn_pallas import knn_pallas_banded
+
+        return checkpoint_name(
+            knn_pallas_banded(
+                x, cfg.k, band=cfg.knn_band, cap=cfg.knn_cap,
+                unroll_cap=(0 if (not train or cfg.knn_train_unroll)
+                            else 1),
+            ),
+            "pt",
+        )
     if impl in ("pallas", "pallas_packed", "pallas_capped"):
         from dgcnn_tpu.kernels.knn_pallas import knn_pallas
 
@@ -319,7 +354,9 @@ def _edge_stage_two_conv(
     never touches HBM."""
     conv_a, bn_a, conv_b, bn_b = names
     cd = cfg._cdtype
-    idx = _knn(x, cfg, train=train)
+    # stage 1 ("conv1") sees raw coordinates — the banded spatial kernel
+    # applies there only (stages 2-3 re-knn in feature space)
+    idx = _knn(x, cfg, train=train, spatial=conv_a == "conv1")
     if not train and cfg._fuse_on:
         from dgcnn_tpu.kernels.edgeconv_pallas import (
             edgeconv_fused_stage,

@@ -83,6 +83,7 @@ def train(
     seed: int = 1,
     knn_impl: str = "auto",
     knn_train_unroll: "bool | str" = "auto",
+    knn_band: int | None = None,
     compute_dtype: str | None = None,
     matmul_precision: str | None = None,
     data_parallel: bool = True,
@@ -109,6 +110,7 @@ def train(
         knn_train_unroll=False,  # resolved below, after steps_per_epoch
         compute_dtype=compute_dtype,
         matmul_precision=matmul_precision,
+        **({} if knn_band is None else {"knn_band": knn_band}),
     )
     train_data = FugroDataset(
         "train", data_dir, num_point=num_points,
@@ -380,6 +382,7 @@ def train_args(args, io: IOStream) -> dict:
         remat=getattr(args, "remat", False),
         grad_accum=getattr(args, "grad_accum", 1),
         knn_train_unroll=getattr(args, "knn_train_unroll", False),
+        knn_band=getattr(args, "knn_band", None),
         tensor_parallel=getattr(args, "tensor_parallel", 1),
         patience=getattr(args, "patience", None),
     )

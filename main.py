@@ -93,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--knn_impl", type=str, default="auto",
                    choices=["auto", "xla", "approx", "pallas",
                             "pallas_packed", "pallas_capped"])
+    p.add_argument("--knn_band", type=int, default=None,
+                   help="banded stage-1 kNN: score only this many x-sorted "
+                        "rows around each query tile (certified + exactly "
+                        "repaired; kernels/knn_pallas.py). Unset = the "
+                        "DGCNNConfig default; 0 disables")
     p.add_argument("--compute_dtype", type=str, default=None)
     p.add_argument("--matmul_precision", type=str, default=None,
                    choices=[None, "default", "high", "highest"],
@@ -217,7 +222,8 @@ def main(argv=None):
                 dropout=args.dropout, emb_dims=args.emb_dims,
                 min_class_confidence=args.min_class_confidence,
                 model_label=args.model_label, model_root=args.model_root,
-                knn_impl=args.knn_impl, compute_dtype=args.compute_dtype,
+                knn_impl=args.knn_impl, knn_band=args.knn_band,
+                compute_dtype=args.compute_dtype,
                 matmul_precision=args.matmul_precision,
                 classify_all=args.classify_all,
                 point_shards=args.point_shards,
