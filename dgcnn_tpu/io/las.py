@@ -85,6 +85,67 @@ def read_las(path: str) -> LasData:
         return _read_las_stream(f)
 
 
+def _native_decode(
+    raw: bytes, n_points: int, record_len: int, point_format: int,
+    scale: np.ndarray, offset: np.ndarray, ver: tuple[int, int],
+) -> LasData | None:
+    """One-pass parallel record decode via libdtmgen.so
+    (native/dtmgen/dtmgen.cpp::dtmgen_las_decode); None → numpy fallback.
+    Byte-equal to the structured-dtype path (tests/test_las_io.py)."""
+    import ctypes
+    import sys
+
+    if sys.byteorder != "little" or n_points == 0:
+        return None  # LAS fields are little-endian; native assumes host LE
+    try:
+        from dgcnn_tpu.prepare.dtm import _native_lib
+    except Exception:
+        return None
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "dtmgen_las_decode"):
+        return None
+    n = n_points
+    x = np.empty(n, np.float64)
+    y = np.empty(n, np.float64)
+    z = np.empty(n, np.float64)
+    cls = np.empty(n, np.uint8)
+    intensity = np.empty(n, np.uint16)
+    ret_num = np.empty(n, np.uint8)
+    num_ret = np.empty(n, np.uint8)
+    psid = np.empty(n, np.uint16)
+    has_gps = point_format in (1, 3, 6, 7, 8)
+    has_rgb = point_format in (2, 3, 7, 8)
+    gps = np.empty(n, np.float64) if has_gps else None
+    rgb = np.empty((n, 3), np.uint16) if has_rgb else None
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    rc = lib.dtmgen_las_decode(
+        ctypes.cast(ctypes.c_char_p(raw), ctypes.POINTER(ctypes.c_uint8)),
+        n, record_len, point_format,
+        scale[0], scale[1], scale[2], offset[0], offset[1], offset[2],
+        ptr(x, ctypes.c_double), ptr(y, ctypes.c_double),
+        ptr(z, ctypes.c_double), ptr(cls, ctypes.c_uint8),
+        ptr(intensity, ctypes.c_uint16), ptr(ret_num, ctypes.c_uint8),
+        ptr(num_ret, ctypes.c_uint8), ptr(psid, ctypes.c_uint16),
+        gps.ctypes.data if gps is not None else None,
+        rgb.ctypes.data if rgb is not None else None,
+    )
+    if rc:
+        return None
+    return LasData(
+        x=x, y=y, z=z, classification=cls,
+        intensity=intensity, return_number=ret_num,
+        number_of_returns=num_ret,
+        red=rgb[:, 0] if rgb is not None else None,
+        green=rgb[:, 1] if rgb is not None else None,
+        blue=rgb[:, 2] if rgb is not None else None,
+        gps_time=gps, point_source_id=psid,
+        point_format=point_format, version=ver,
+    )
+
+
 def _read_las_stream(f: BinaryIO) -> LasData:
     head = f.read(375)
     if head[:4] != _SIGNATURE:
@@ -117,6 +178,12 @@ def _read_las_stream(f: BinaryIO) -> LasData:
     )
     f.seek(point_offset)
     raw = f.read(record_len * n_points)
+    if len(raw) >= record_len * n_points:
+        native = _native_decode(
+            raw, n_points, record_len, point_format, scale, offset, ver
+        )
+        if native is not None:
+            return native
     pts = np.frombuffer(raw, dtype=dtype, count=n_points)
 
     x = pts["X"] * scale[0] + offset[0]

@@ -289,6 +289,21 @@ def _native_lib():
         ctypes.c_int64, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
         ctypes.c_int, ctypes.POINTER(ctypes.c_double),
     ]
+    try:  # added after the first .so release; stale builds lack it
+        lib.dtmgen_las_decode.restype = ctypes.c_int
+        lib.dtmgen_las_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+    except AttributeError:
+        pass
     _LIB = lib
     return lib
 

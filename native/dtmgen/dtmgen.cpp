@@ -562,6 +562,72 @@ extern "C" int dtmgen_agl_knn(const double* ref_xy, const double* ref_z,
   return 0;
 }
 
+// Single-pass parallel LAS point-record decode (ctypes API, used by
+// dgcnn_tpu/io/las.py::read_las). The numpy twin decodes with one strided
+// pass per field (~10 full-buffer sweeps: X/Y/Z scale-and-offset, flag
+// splits, field copies); this does ONE parallel pass with per-record
+// unaligned memcpy loads (free on x86-64). Formats 0-3 and 6-8 — the same
+// set as io/las.py::_POINT_DTYPES, tested byte-equal against it
+// (tests/test_las_io.py). LAS is little-endian by spec; this decoder
+// assumes a little-endian host (the numpy twin is the portable fallback).
+//
+// gps/rgb output pointers must be null unless the format carries the
+// field (checked). record_len may exceed the format's base size (extra
+// per-point bytes are skipped, like the numpy twin's opaque padding).
+extern "C" int dtmgen_las_decode(
+    const uint8_t* buf, int64_t n, int record_len, int point_format,
+    double sx, double sy, double sz, double ox, double oy, double oz,
+    double* xs, double* ys, double* zs, uint8_t* cls, uint16_t* intensity,
+    uint8_t* ret_num, uint8_t* num_ret, uint16_t* psid, double* gps,
+    uint16_t* rgb) {
+  int gps_off = -1, rgb_off = -1, min_len = 0;
+  bool modern = false;  // formats 6-8 (LAS 1.4 extended records)
+  switch (point_format) {
+    case 0: min_len = 20; break;
+    case 1: min_len = 28; gps_off = 20; break;
+    case 2: min_len = 26; rgb_off = 20; break;
+    case 3: min_len = 34; gps_off = 20; rgb_off = 28; break;
+    case 6: min_len = 30; gps_off = 22; modern = true; break;
+    case 7: min_len = 36; gps_off = 22; rgb_off = 30; modern = true; break;
+    case 8: min_len = 38; gps_off = 22; rgb_off = 30; modern = true; break;
+    default: return 1;
+  }
+  if (record_len < min_len) return 1;
+  if ((gps && gps_off < 0) || (rgb && rgb_off < 0)) return 1;
+  const int cls_off = modern ? 16 : 15;
+  const int psid_off = modern ? 20 : 18;
+  ParallelFor(n, 65536, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint8_t* r = buf + i * record_len;
+      int32_t xi, yi, zi;
+      uint16_t u16v;
+      std::memcpy(&xi, r, 4);
+      std::memcpy(&yi, r + 4, 4);
+      std::memcpy(&zi, r + 8, 4);
+      xs[i] = xi * sx + ox;
+      ys[i] = yi * sy + oy;
+      zs[i] = zi * sz + oz;
+      std::memcpy(&u16v, r + 12, 2);
+      intensity[i] = u16v;
+      const uint8_t fb = r[14];  // classic flags / modern returns byte
+      if (modern) {
+        ret_num[i] = fb & 0x0F;
+        num_ret[i] = (fb >> 4) & 0x0F;
+        cls[i] = r[cls_off];
+      } else {
+        ret_num[i] = fb & 0x07;
+        num_ret[i] = (fb >> 3) & 0x07;
+        cls[i] = r[cls_off] & 0x1F;  // 5-bit classification field
+      }
+      std::memcpy(&u16v, r + psid_off, 2);
+      psid[i] = u16v;
+      if (gps) std::memcpy(&gps[i], r + gps_off, 8);
+      if (rgb) std::memcpy(rgb + i * 3, r + rgb_off, 6);
+    }
+  });
+  return 0;
+}
+
 #ifndef DTMGEN_NO_MAIN
 int main(int argc, char** argv) {
   if (argc < 10) {

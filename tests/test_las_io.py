@@ -108,3 +108,111 @@ def test_h5_reader(tmp_path, rng):
     np.testing.assert_array_equal(out["classification"], cls)
     np.testing.assert_allclose(out["agl"], agl)
     assert "intensity" in out and "color" not in out
+
+
+# ---------------------------------------------------------- native decoder
+# One-pass parallel record decode (native/dtmgen/dtmgen.cpp::
+# dtmgen_las_decode) must be byte-equal to the structured-dtype numpy twin
+# for every supported format. Builds the .so on first use (like test_dtm).
+def _native_ready():
+    from dgcnn_tpu.prepare.dtm import _native_lib
+
+    lib = _native_lib()
+    return lib is not None and hasattr(lib, "dtmgen_las_decode")
+
+
+NATIVE_LAS = _native_ready()
+
+_FIELDS = ("x", "y", "z", "classification", "intensity", "return_number",
+           "number_of_returns", "red", "green", "blue", "gps_time",
+           "point_source_id")
+
+
+def _numpy_decode(path, monkeypatch):
+    """read_las with the native fast path disabled."""
+    import dgcnn_tpu.io.las as las_mod
+
+    monkeypatch.setattr(las_mod, "_native_decode", lambda *a, **k: None)
+    try:
+        return read_las(path)
+    finally:
+        monkeypatch.undo()
+
+
+def _assert_las_equal(a: LasData, b: LasData):
+    for f in _FIELDS:
+        va, vb = getattr(a, f), getattr(b, f)
+        assert (va is None) == (vb is None), f
+        if va is not None:
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb), f)
+
+
+@pytest.mark.skipif(not NATIVE_LAS, reason="no C++ toolchain for libdtmgen")
+@pytest.mark.parametrize("fmt", [0, 1, 2, 3])
+def test_native_decode_matches_numpy_classic(tmp_path, cloud, rng, fmt,
+                                             monkeypatch):
+    n = len(cloud["x"])
+    kw = dict(intensity=cloud["intensity"],
+              return_number=cloud["return_number"],
+              number_of_returns=cloud["number_of_returns"],
+              point_source_id=rng.integers(0, 65535, n).astype(np.uint16))
+    if fmt in (1, 3):
+        kw["gps_time"] = rng.random(n) * 1e6
+    if fmt in (2, 3):
+        for c in ("red", "green", "blue"):
+            kw[c] = rng.integers(0, 65535, n).astype(np.uint16)
+    path = str(tmp_path / f"c{fmt}.las")
+    write_las(path, cloud["x"], cloud["y"], cloud["z"],
+              cloud["classification"], point_format=fmt, **kw)
+    _assert_las_equal(read_las(path), _numpy_decode(path, monkeypatch))
+
+
+def _write_las14(path, fmt, pts, scale, offset):
+    """Minimal LAS 1.4 file around a structured point-record array
+    (header layout per the ASPRS spec; only the fields read_las consumes
+    are populated — legacy count 0 forces the 64-bit count at offset
+    247, io/las.py:101-104)."""
+    import struct
+
+    head = bytearray(375)
+    head[0:4] = b"LASF"
+    head[24], head[25] = 1, 4
+    struct.pack_into("<H", head, 94, 375)              # header size
+    struct.pack_into("<I", head, 96, 375)              # point data offset
+    head[104] = fmt
+    struct.pack_into("<H", head, 105, pts.dtype.itemsize)
+    struct.pack_into("<3d", head, 131, *scale)
+    struct.pack_into("<3d", head, 155, *offset)
+    struct.pack_into("<Q", head, 247, len(pts))
+    with open(path, "wb") as f:
+        f.write(head)
+        f.write(pts.tobytes())
+
+
+@pytest.mark.skipif(not NATIVE_LAS, reason="no C++ toolchain for libdtmgen")
+@pytest.mark.parametrize("fmt,extra", [(6, 0), (7, 0), (8, 0), (6, 5)])
+def test_native_decode_matches_numpy_modern(tmp_path, rng, fmt, extra,
+                                            monkeypatch):
+    """Formats 6-8 (LAS 1.4 extended records) + extra per-point padding
+    bytes, which the numpy twin keeps as an opaque field and the native
+    decoder strides over."""
+    from dgcnn_tpu.io.las import _POINT_DTYPES
+
+    base = _POINT_DTYPES[fmt]
+    dtype = (base if not extra
+             else np.dtype(base.descr + [("extra", "V", extra)]))
+    n = 300
+    pts = np.zeros(n, dtype)
+    for name in base.names:
+        info = base.fields[name][0]
+        if info.kind in "iu":
+            lo, hi = np.iinfo(info).min, np.iinfo(info).max
+            pts[name] = rng.integers(lo, int(hi) + 1, n).astype(info)
+        elif info.kind == "f":
+            pts[name] = rng.random(n) * 1e6
+    path = str(tmp_path / f"m{fmt}_{extra}.las")
+    _write_las14(path, fmt, pts, (0.001, 0.001, 0.001), (5e5, 6e6, 0.0))
+    a = read_las(path)
+    b = _numpy_decode(path, monkeypatch)
+    assert a.point_format == fmt and a.version == (1, 4)
+    _assert_las_equal(a, b)
