@@ -287,6 +287,7 @@ def make_eval_step(cfg: DGCNNConfig, *, smoothing: bool = True) -> Callable:
 
 
 @functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=8)
 def make_predict_step(
     cfg: DGCNNConfig, *, min_class_confidence: float = 0.8,
     unclassified: int = 31,
@@ -296,7 +297,13 @@ def make_predict_step(
     are labelled LAS class 31 UNCLASSIFIED (/root/reference/test.py:15,
     :122-127). Returns (pred, probs, logits) — raw logits are what the
     postprocess dump contract stores (combine_results.py:61-79 softmaxes
-    columns 8: itself; dumping probs would double-softmax downstream)."""
+    columns 8: itself; dumping probs would double-softmax downstream).
+
+    Memoised on the (hashable, frozen) config: repeated ``predict()`` /
+    ``test()`` calls in one process — the serve loop classifies every
+    tile through a fresh ``predict()`` — reuse ONE jit object, so warm
+    calls skip re-tracing and executable-cache lookups (a few hundred ms
+    to seconds per call at the production config's program size)."""
 
     @jax.jit
     def step(params, bn_state, points):
