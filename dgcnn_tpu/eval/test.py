@@ -39,11 +39,30 @@ from dgcnn_tpu.utils.logging import IOStream
 UNCLASSIFIED = 31
 
 
+_RESTORE_CACHE: dict = {}
+
+
 def _restore(cfg: DGCNNConfig, model_root: str, model_label: str, io):
-    """Restore params/bn-state from a dgcnn_tpu .npz or a reference .t7."""
+    """Restore params/bn-state from a dgcnn_tpu .npz or a reference .t7.
+
+    Cached on (cfg, file identity): the serve loop restores the same
+    model for every tile through a fresh ``predict()`` call (~0.1 s of
+    template init + npz decompress each). A changed checkpoint file
+    (mtime or size) invalidates its entry; params are never mutated or
+    donated downstream, so sharing device arrays across calls is safe."""
     t7 = os.path.join(model_root, f"{model_label}.t7")
     npz = os.path.join(model_root, f"{model_label}.npz")
-    if os.path.exists(npz):
+    path = npz if os.path.exists(npz) else t7
+    try:
+        st = os.stat(path)
+        key = (cfg, os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        raise FileNotFoundError(f"no checkpoint {npz} or {t7}") from None
+    hit = _RESTORE_CACHE.get(key)
+    if hit is not None:
+        io.cprint(f"{os.path.basename(path)} restored.")
+        return hit
+    if path == npz:
         from dgcnn_tpu.models.dgcnn import init_dgcnn
         from dgcnn_tpu.train.checkpoint import load_named_subtrees
 
@@ -52,14 +71,17 @@ def _restore(cfg: DGCNNConfig, model_root: str, model_label: str, io):
         # optimizer whose state structure we cannot know here
         sub = load_named_subtrees(npz, {"params": p_tpl, "bn_state": s_tpl})
         io.cprint(f"{model_label}.npz restored.")
-        return sub["params"], sub["bn_state"]
-    if os.path.exists(t7):
+        out = sub["params"], sub["bn_state"]
+    else:
         from dgcnn_tpu.compat.torch_ckpt import load_torch_checkpoint
 
         ck = load_torch_checkpoint(t7)
         io.cprint(f"{model_label}.t7 restored.")
-        return ck["params"], ck["bn_state"]
-    raise FileNotFoundError(f"no checkpoint {npz} or {t7}")
+        out = ck["params"], ck["bn_state"]
+    while len(_RESTORE_CACHE) >= 4:  # bound device-memory retention
+        _RESTORE_CACHE.pop(next(iter(_RESTORE_CACHE)))
+    _RESTORE_CACHE[key] = out
+    return out
 
 
 def test(

@@ -924,7 +924,12 @@ def knn_pallas_banded(
                           unroll_cap=min(unroll_cap, 1),
                           unroll_merge=unroll_merge, interpret=interpret)
     if query_tile is None:
-        query_tile = _default_query_tile(True)
+        # the banded score tile is (qt, band) — small enough that a wider
+        # query tile than the full kernel's table entry wins (measured
+        # band=2048: qt 256/384/512 -> 6.09/5.88/5.71 ms; band=3072: 384
+        # best — scripts/exp_banded_knn.py)
+        query_tile = (512 if band <= 2048
+                      else _default_query_tile(True))
     qt = min(query_tile, band)
     x = jax.lax.stop_gradient(x)
 

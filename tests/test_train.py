@@ -93,6 +93,12 @@ def test_eval_and_predict_steps():
     np.testing.assert_allclose(
         np.asarray(jax.nn.softmax(logits, -1)), np.asarray(probs), atol=1e-6
     )
+    # memoised on the frozen config: repeat predict()/test()/serve calls
+    # must reuse ONE jit object (no per-call re-trace)
+    assert make_predict_step(CFG, min_class_confidence=0.999) is (
+        make_predict_step(CFG, min_class_confidence=0.999))
+    assert make_predict_step(CFG, min_class_confidence=0.5) is not (
+        make_predict_step(CFG, min_class_confidence=0.999))
 
 
 def test_data_parallel_step_matches_single_device():
