@@ -66,6 +66,23 @@ def _classify_whole_sharded(
     return np.asarray(pred[:n], np.int32)
 
 
+def predict_load(
+    pointcloud_file: str,
+    features: dict[str, int] | None = None,
+    features_output: list[str] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The model-independent load stage of :func:`predict` (LAS/H5 decode
+    + noise filter + feature-column assembly), factored out so a serving
+    pipeline can run it for tile i+1 on a worker thread while tile i is
+    on the device (serve/service.py). Returns ``(data, labels)``
+    exactly as :func:`predict` would load them."""
+    features = features or {"x": 0, "y": 1, "z": 2, "agl": 3}
+    features_output = features_output or list(features)
+    return load_pointcloud(
+        pointcloud_file, features_output=features_output, features=features
+    )
+
+
 def predict(
     k: int,
     io: IOStream,
@@ -92,6 +109,7 @@ def predict(
     seed: int = 0,
     classify_all: bool = False,
     point_shards: int = 1,
+    preloaded: "tuple[np.ndarray, np.ndarray] | None" = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Classify a LAS/HDF5 point cloud end to end.
 
@@ -129,9 +147,13 @@ def predict(
 
     features = features or {"x": 0, "y": 1, "z": 2, "agl": 3}
     features_output = features_output or list(features)
-    data, labels = load_pointcloud(
-        pointcloud_file, features_output=features_output, features=features
-    )
+    if preloaded is None:
+        data, labels = predict_load(
+            pointcloud_file, features=features,
+            features_output=features_output,
+        )
+    else:  # from a serving pipeline's prefetch thread (predict_load)
+        data, labels = preloaded
     io.cprint(f"loaded {len(data)} points from {pointcloud_file}")
     if len(data) == 0:  # e.g. the noise filter removed everything
         io.cprint("empty cloud — nothing to classify")

@@ -14,7 +14,9 @@ scheduler can scrape. This module provides exactly that, framework-native:
   tile to an output directory (atomic rename), write a JSON sidecar with
   timing/point counts per tile, isolate failures (error sidecar in
   ``failed/``; the service never dies on a bad tile), and maintain a
-  ``status.json`` heartbeat.
+  ``status.json`` heartbeat. Tiles are PIPELINED: the next tile's load
+  stage (LAS decode + noise filter, model-independent) runs on a worker
+  thread while the current tile owns the device.
 * :func:`start_status_server` — optional stdlib HTTP endpoint serving the
   live status JSON for probes.
 
@@ -59,7 +61,21 @@ class PredictService:
         self.total_points = 0
         self.last: dict[str, Any] | None = None
 
-    def classify_file(self, in_path: str, out_path: str) -> dict[str, Any]:
+    def load_tile(self, in_path: str):
+        """Model-independent load stage (decode + noise filter + feature
+        assembly) for ``in_path`` — safe to run on a worker thread while
+        another tile classifies; pass the result to :meth:`classify_file`
+        as ``preloaded``."""
+        from dgcnn_tpu.eval.predict import predict_load
+
+        return predict_load(
+            in_path,
+            features=self.kwargs.get("features"),
+            features_output=self.kwargs.get("features_output"),
+        )
+
+    def classify_file(self, in_path: str, out_path: str,
+                      preloaded=None) -> dict[str, Any]:
         """Classify one tile; returns the per-tile stats dict (also stored
         as ``self.last``). Output is written atomically (tmp + rename)."""
         from dgcnn_tpu.eval.predict import predict
@@ -68,7 +84,7 @@ class PredictService:
         tmp = out_path + ".tmp"
         try:
             data, preds = predict(self.k, self.io, in_path, tmp,
-                                  **self.kwargs)
+                                  preloaded=preloaded, **self.kwargs)
         except Exception:
             # never leak a partial .tmp into the output directory
             if os.path.exists(tmp):
@@ -153,6 +169,7 @@ def serve_directory(
             f for f in os.listdir(in_dir)
             if f.lower().endswith(_INPUT_EXTS)
         )
+        ready = []
         for name in names:
             sidecar = os.path.join(out_dir, name + ".json")
             err_path = os.path.join(failed_dir, name + ".error.json")
@@ -164,13 +181,49 @@ def serve_directory(
             except OSError:
                 continue  # deleted/renamed between listdir and here
             if time.time() - mtime < settle_s:
-                continue  # possibly still uploading
+                continue  # possibly still uploading — next poll
+            ready.append(name)
+        if max_tiles is not None:
+            ready = ready[: max_tiles - attempted]
+
+        # One-slot tile pipeline: while tile i is classifying (device +
+        # DTM/AGL busy), a worker thread runs the model-independent load
+        # stage (decode + noise filter) of tile i+1. A prefetch error is
+        # DISCARDED — classify_file then reloads on the main thread so
+        # the failure is attributed to its tile via the normal error
+        # sidecar, not swallowed on a worker.
+        def _prefetch(nm: str, box: dict):
+            try:
+                box["data"] = service.load_tile(os.path.join(in_dir, nm))
+            except BaseException:  # noqa: BLE001 — see note above
+                pass
+
+        pending: "tuple[threading.Thread, dict] | None" = None
+        for i, name in enumerate(ready):
+            sidecar = os.path.join(out_dir, name + ".json")
+            err_path = os.path.join(failed_dir, name + ".error.json")
+            src = os.path.join(in_dir, name)
+            # kick the NEXT tile's load before blocking on this one
+            nxt = None
+            if i + 1 < len(ready):
+                box: dict = {}
+                th = threading.Thread(
+                    target=_prefetch, args=(ready[i + 1], box), daemon=True,
+                )
+                th.start()
+                nxt = (th, box)
+            preloaded = None
+            if pending is not None:
+                pending[0].join()
+                preloaded = pending[1].get("data")
+            pending = nxt
             out_name = (name if name.lower().endswith(".las")
                         else name + ".las")
             out_las = os.path.join(out_dir, out_name)
             attempted += 1
             try:
-                stats = service.classify_file(src, out_las)
+                stats = service.classify_file(src, out_las,
+                                              preloaded=preloaded)
                 _atomic_json(sidecar, stats)
                 # the return value counts SUCCESSES; the max_tiles quota
                 # counts attempts (failures are isolated via the error
