@@ -12,9 +12,12 @@ whole (N, C) feature table resident in VMEM (1.8 MB at production shape),
 gather rows with unrolled dynamic sublane loads, and run the entire stage
 epilogue on the VMEM tile: per grid step ONE read of the table block
 index rows, one (QT·k, C)x(C, C2) MXU matmul, one (QT, C2) HBM write. The
-k-expanded tensor never exists in HBM. Measured 4.6-5.5 ms/stage (unroll 8,
-QT 64-128) — ~2x the XLA chain, bit-exact against it
-(scripts/exp_gather_pallas.py).
+k-expanded tensor never exists in HBM. Measured 4.6-5.5 ms/stage
+standalone on REAL (x-sorted-local) kNN indices — ~2x the XLA chain,
+bit-exact against it (scripts/exp_gather_pallas.py); worst-case
+uniform-random indices cost ~7 ms/stage (VMEM read locality matters,
+scripts/exp_stage_unroll2.py). Defaults qt=128/unroll=16: full-forward
+A/B 26.1 vs 28.3-29.0 ms at qt=64/u=8 (scripts/exp_stage_unroll4.py).
 
 Eval-only: BatchNorm folds to per-channel scale/shift from running
 statistics (training needs batch statistics over the full tensor and keeps
@@ -75,8 +78,8 @@ def edgeconv_fused_stage(
     scale_a: jax.Array, shift_a: jax.Array,   # folded eval BN after conv a
     scale_b: jax.Array, shift_b: jax.Array,   # folded eval BN after conv b
     *,
-    qt: int = 64,
-    unroll: int = 8,
+    qt: int = 128,
+    unroll: int = 16,
     interpret: bool | None = None,
 ) -> jax.Array:
     """max_k(act(BNb(W2 @ act(BNa(table[idx] + bvec))))) -> (B, N, C2),
@@ -146,8 +149,8 @@ def edgeconv_fused_extrema(
     gamma: jax.Array,        # (C,) BN gamma — selects max vs min
     scale: jax.Array, shift: jax.Array,       # folded eval BN
     *,
-    qt: int = 64,
-    unroll: int = 8,
+    qt: int = 128,
+    unroll: int = 16,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Stage-3 fused: act(BN(select_by_sign(gamma, max_k, min_k of
