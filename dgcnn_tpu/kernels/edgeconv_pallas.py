@@ -43,6 +43,17 @@ def _pick_unroll(rows: int, want: int) -> int:
     return 1
 
 
+def _env_tiles(qt: int, unroll: int) -> tuple[int, int]:
+    """DGCNN_STAGE_QT / DGCNN_STAGE_UNROLL override the v5e-measured
+    defaults — the retuning escape hatch for other TPU generations
+    (sweep with scripts/exp_stage_unroll4.py's full-forward A/B; kernel-
+    level sub-ms timings are unreliable through a tunnelled chip)."""
+    import os
+
+    return (int(os.environ.get("DGCNN_STAGE_QT", qt)),
+            int(os.environ.get("DGCNN_STAGE_UNROLL", unroll)))
+
+
 # shared kernel helpers live in gather_pallas (one copy)
 from dgcnn_tpu.kernels.gather_pallas import (  # noqa: E402
     _round_up,
@@ -84,6 +95,9 @@ def edgeconv_fused_stage(
 ) -> jax.Array:
     """max_k(act(BNb(W2 @ act(BNa(table[idx] + bvec))))) -> (B, N, C2),
     gathering inside the kernel (the (B,N,k,C) tensor never hits HBM)."""
+    # env overrides resolve at trace time — set them before first use
+    # (the jit cache is keyed on the passed qt/unroll, not the env)
+    qt, unroll = _env_tiles(qt, unroll)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, n, c = table.shape
@@ -156,6 +170,7 @@ def edgeconv_fused_extrema(
     """Stage-3 fused: act(BN(select_by_sign(gamma, max_k, min_k of
     table[idx] + bvec))) -> (B, N, C). The max-through-BN monotonicity fold
     (ops/edgeconv.py::edge_conv_linear_extrema) with the gather in VMEM."""
+    qt, unroll = _env_tiles(qt, unroll)  # see edgeconv_fused_stage
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, n, c = table.shape
