@@ -100,6 +100,7 @@ def predict(
     batch_size: int = 8,
     knn_impl: str = "auto",
     knn_band: int | None = None,
+    knn_band_feature: int | None = None,
     compute_dtype: str | None = None,
     matmul_precision: str | None = None,
     save_block_las: bool = False,
@@ -138,6 +139,8 @@ def predict(
         dropout=dropout, emb_dims=emb_dims, knn_impl=knn_impl,
         compute_dtype=compute_dtype, matmul_precision=matmul_precision,
         **({} if knn_band is None else {"knn_band": knn_band}),
+        **({} if knn_band_feature is None
+           else {"knn_band_feature": knn_band_feature}),
     )
     params, bn_state = _restore(cfg, model_root, model_label, io)
     predict_step = make_predict_step(

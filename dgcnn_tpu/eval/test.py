@@ -103,6 +103,7 @@ def test(
     seed: int = 1,
     knn_impl: str = "auto",
     knn_band: int | None = None,
+    knn_band_feature: int | None = None,
     compute_dtype: str | None = None,
     matmul_precision: str | None = None,
     dump_logits: bool = False,
@@ -116,6 +117,8 @@ def test(
         dropout=dropout, emb_dims=emb_dims, knn_impl=knn_impl,
         compute_dtype=compute_dtype, matmul_precision=matmul_precision,
         **({} if knn_band is None else {"knn_band": knn_band}),
+        **({} if knn_band_feature is None
+           else {"knn_band_feature": knn_band_feature}),
     )
     dataset = FugroDataset(
         "test", data_dir, num_point=num_points,
@@ -288,6 +291,7 @@ def test_args(args, io: IOStream) -> dict:
             seed=args.seed,
             knn_impl=getattr(args, "knn_impl", "auto"),
             knn_band=getattr(args, "knn_band", None),
+            knn_band_feature=getattr(args, "knn_band_feature", None),
             compute_dtype=getattr(args, "compute_dtype", None),
             matmul_precision=getattr(args, "matmul_precision", None),
             validation_prop=args.validation_prop,
@@ -311,6 +315,7 @@ def test_args(args, io: IOStream) -> dict:
         seed=args.seed,
         knn_impl=getattr(args, "knn_impl", "auto"),
         knn_band=getattr(args, "knn_band", None),
+        knn_band_feature=getattr(args, "knn_band_feature", None),
         compute_dtype=getattr(args, "compute_dtype", None),
         matmul_precision=getattr(args, "matmul_precision", None),
         validation_prop=args.validation_prop,

@@ -989,6 +989,80 @@ def knn_pallas_banded(
     return jax.lax.cond(sorted_ok, _banded, _capped, None)
 
 
+def knn_pallas_feature_banded(
+    x: jax.Array,
+    k: int,
+    *,
+    sorted_ok: jax.Array,
+    band: int = 4096,
+    n_win: int = 32,
+    cap: int = 8,
+    query_tile: int | None = None,
+    unroll_cap: int = 0,
+    unroll_merge: int = 0,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """FEATURE-space kNN over spatially-ordered rows, banded UNcertified.
+
+    Stage-2/3 of DGCNN re-compute kNN in learned feature space
+    (/root/reference/model.py:116-130 calls get_graph_feature on x1/x2).
+    Point features are spatially smooth, so when the block rows are
+    x-sorted (the production order, data/dataset.py::sort_points), a
+    query's feature-space neighbours overwhelmingly sit nearby in ROW
+    order: measured on the trained soak model's real rooms, in-band
+    recall of true x1-space neighbours at band=4096 is 0.99997 — BELOW
+    the capped kernel's own Poisson cap-overflow loss (~5e-5/query)
+    (scripts/exp_feature_band_offline.py). The banded kernel then scores
+    only ``band`` rows per query tile: ~n_pad/band-fold less matmul and
+    extraction work than the full capped kernel.
+
+    No sound certificate exists for feature distances under a spatial
+    key (measured: a spatial-edge "certificate" misses real neighbours),
+    so unlike the stage-1 :func:`knn_pallas_banded` there is NO repair
+    pass — this is the same evidence class as the capped kernel itself
+    (heuristic, quality-bounded by trained-model agreement).
+
+    ``sorted_ok``: traced scalar bool — whether the underlying POINTS
+    are x-sorted (the caller computes it from the coordinates; it cannot
+    be derived from the feature table). False falls back to the full
+    capped kernel at runtime.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, c = x.shape
+    if k > n:
+        raise ValueError(f"k={k} exceeds number of points {n}")
+    if band % 256 or band % n_win:
+        raise ValueError("band must be a multiple of 256 and of n_win")
+    if n_win * cap < k:
+        raise ValueError(
+            f"extraction capacity n_win*cap={n_win * cap} < k={k}")
+    n_pad = _round_up(n, 128)
+    if n_pad <= band or band - (n_pad - n) < k:
+        return knn_pallas(x, k, packed=True, cap=cap,
+                          unroll_cap=min(unroll_cap, 1),
+                          unroll_merge=unroll_merge, interpret=interpret)
+    if query_tile is None:
+        query_tile = (512 if band <= 2048 else _default_query_tile(True))
+    qt = min(query_tile, band)
+    x = jax.lax.stop_gradient(x)
+
+    def _capped(_):
+        return knn_pallas(x, k, packed=True, cap=cap,
+                          unroll_cap=min(unroll_cap, 1),
+                          unroll_merge=unroll_merge, interpret=interpret)
+
+    def _banded(_):
+        idx, _keys = _knn_banded_jit(
+            x, k, band=band, n_win=n_win, cap=cap, query_tile=qt,
+            unroll_cap=unroll_cap, unroll_merge=unroll_merge,
+            interpret=interpret,
+        )
+        return idx
+
+    return jax.lax.cond(sorted_ok, _banded, _capped, None)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "band", "n_win", "cap", "query_tile",

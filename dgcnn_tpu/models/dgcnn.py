@@ -92,6 +92,19 @@ class DGCNNConfig:
     # 0.999946 >= the capped kernel's own 0.999929 — scripts/
     # exp_banded2.py log 2026-08-17).
     knn_band: int = 2048
+    # Banded FEATURE-space kNN for stages 2-3 (kernels/knn_pallas.py::
+    # knn_pallas_feature_banded): point features are spatially smooth, so
+    # on x-sorted rows a query's feature-space neighbours sit nearby in
+    # ROW order — the banded kernel scores only this many rows per query
+    # tile. UNcertified (no repair pass exists for feature distances);
+    # quality is trained-model-evidenced like the capped kernel itself:
+    # in-band recall of true x1-space neighbours 0.99997 at band=4096 —
+    # below the capped kernel's own ~5e-5/query cap-overflow loss
+    # (scripts/exp_feature_band_offline.py). x2-space (stage 3) is less
+    # localised — see the stage-3 gating in _knn. 0 disables (full capped
+    # kernel). Unsorted POINT inputs fall back at runtime (the sortedness
+    # flag is computed from the coordinates in _apply_dgcnn).
+    knn_band_feature: int = 0
     # Fused eval EdgeConv stage kernels with in-kernel gather
     # (kernels/edgeconv_pallas.py): the (B,N,k,C) gathered tensor never
     # touches HBM — measured ~2x per stage vs the XLA chain, bit-exact.
@@ -153,6 +166,13 @@ class DGCNNConfig:
             raise ValueError(
                 f"knn_band {self.knn_band!r} must be a non-negative "
                 "multiple of 256")
+        if (not isinstance(self.knn_band_feature, int)
+                or isinstance(self.knn_band_feature, bool)
+                or self.knn_band_feature < 0
+                or self.knn_band_feature % 256):
+            raise ValueError(
+                f"knn_band_feature {self.knn_band_feature!r} must be a "
+                "non-negative multiple of 256")
         if not isinstance(self.knn_train_unroll, bool):
             # "auto" resolution lives in train/loop.py (it needs the
             # cache-warm marker context); a string here would be silently
@@ -282,7 +302,12 @@ def _mm(x: jax.Array, w: jax.Array, cdtype) -> jax.Array:
 
 
 def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
-         spatial: bool = False) -> jax.Array:
+         spatial: bool = False,
+         sorted_ok: jax.Array | None = None) -> jax.Array:
+    """``sorted_ok``: traced bool — are the underlying POINTS x-sorted?
+    Computed once in _apply_dgcnn from the coordinates; enables the
+    feature-banded kernel for the non-spatial stages (the feature table
+    itself carries no sortedness information)."""
     impl = cfg.knn_impl
     if impl == "auto":
         # TPU: the hierarchical capped packed kernel for BOTH training and
@@ -308,6 +333,25 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
         return checkpoint_name(
             knn_pallas_banded(
                 x, cfg.k, band=cfg.knn_band, cap=cfg.knn_cap,
+                unroll_cap=(0 if (not train or cfg.knn_train_unroll)
+                            else 1),
+            ),
+            "pt",
+        )
+    if (impl == "pallas_capped" and not spatial and cfg.knn_band_feature
+            and sorted_ok is not None):
+        # Stages 2-3 re-knn in FEATURE space; features are spatially
+        # smooth, so x-sorted row order localises them (measured in-band
+        # recall 0.99997 at band=4096 on x1-space — below the capped
+        # kernel's own cap-overflow loss). Uncertified: same evidence
+        # class as the capped kernel. Falls back to full capped at
+        # runtime when the points are not x-sorted.
+        from dgcnn_tpu.kernels.knn_pallas import knn_pallas_feature_banded
+
+        return checkpoint_name(
+            knn_pallas_feature_banded(
+                x, cfg.k, sorted_ok=sorted_ok,
+                band=cfg.knn_band_feature, cap=cfg.knn_cap,
                 unroll_cap=(0 if (not train or cfg.knn_train_unroll)
                             else 1),
             ),
@@ -344,7 +388,7 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
 
 
 def _edge_stage_two_conv(
-    x, cfg, params, state, names, *, train
+    x, cfg, params, state, names, *, train, sorted_ok=None
 ) -> tuple[jax.Array, BNState]:
     """EdgeConv stage with two convs (stages 1 and 2): decomposed first conv,
     BN+LReLU, k-expanded second conv, BN+LReLU, max over k. In eval mode
@@ -356,7 +400,8 @@ def _edge_stage_two_conv(
     cd = cfg._cdtype
     # stage 1 ("conv1") sees raw coordinates — the banded spatial kernel
     # applies there only (stages 2-3 re-knn in feature space)
-    idx = _knn(x, cfg, train=train, spatial=conv_a == "conv1")
+    idx = _knn(x, cfg, train=train, spatial=conv_a == "conv1",
+               sorted_ok=sorted_ok)
     if not train and cfg._fuse_on:
         from dgcnn_tpu.kernels.edgeconv_pallas import (
             edgeconv_fused_stage,
@@ -406,7 +451,7 @@ def _edge_stage_two_conv(
 
 
 def _edge_stage_single_conv(
-    x, cfg, params, state, *, train
+    x, cfg, params, state, *, train, sorted_ok=None
 ) -> tuple[jax.Array, BNState]:
     """Stage 3 (conv5 only). Eval mode folds max-over-k through BN+LReLU:
     both are per-channel monotone (increasing iff the BN scale >= 0), so
@@ -414,7 +459,7 @@ def _edge_stage_single_conv(
     Training materialises the (B,N,k,64) activations since BN batch stats
     range over the k axis."""
     cd = cfg._cdtype
-    idx = _knn(x, cfg, train=train)
+    idx = _knn(x, cfg, train=train, sorted_ok=sorted_ok)
     if train:
         e = edge_conv_linear(x, idx, params["conv5"]["w"], compute_dtype=cd)
         if cfg.stage_tail_fused and cfg.bn_stats == "one_pass":
@@ -514,6 +559,14 @@ def _apply_dgcnn(
     cd = cfg._cdtype
     new_state = dict(state)
 
+    # Sortedness of the POINT x column, computed once: the feature-banded
+    # kNN (stages 2-3) keys on spatial row order, which the feature tables
+    # themselves cannot reveal. None (knob off) keeps the graph unchanged.
+    sorted_ok = None
+    if cfg.knn_band_feature:
+        x0c = x[..., 0]
+        sorted_ok = jnp.all(x0c[:, 1:] >= x0c[:, :-1])
+
     x1, upd = _edge_stage_two_conv(
         x, cfg, params, state, ("conv1", "bn1", "conv2", "bn2"), train=train
     )
@@ -524,7 +577,8 @@ def _apply_dgcnn(
         tap = x1
 
     x2, upd = _edge_stage_two_conv(
-        x1, cfg, params, state, ("conv3", "bn3", "conv4", "bn4"), train=train
+        x1, cfg, params, state, ("conv3", "bn3", "conv4", "bn4"),
+        train=train, sorted_ok=sorted_ok
     )
     new_state.update(upd)
     if depth == 2:

@@ -84,6 +84,7 @@ def train(
     knn_impl: str = "auto",
     knn_train_unroll: "bool | str" = "auto",
     knn_band: int | None = None,
+    knn_band_feature: int | None = None,
     compute_dtype: str | None = None,
     matmul_precision: str | None = None,
     data_parallel: bool = True,
@@ -111,6 +112,8 @@ def train(
         compute_dtype=compute_dtype,
         matmul_precision=matmul_precision,
         **({} if knn_band is None else {"knn_band": knn_band}),
+        **({} if knn_band_feature is None
+           else {"knn_band_feature": knn_band_feature}),
     )
     train_data = FugroDataset(
         "train", data_dir, num_point=num_points,
@@ -383,6 +386,7 @@ def train_args(args, io: IOStream) -> dict:
         grad_accum=getattr(args, "grad_accum", 1),
         knn_train_unroll=getattr(args, "knn_train_unroll", False),
         knn_band=getattr(args, "knn_band", None),
+        knn_band_feature=getattr(args, "knn_band_feature", None),
         tensor_parallel=getattr(args, "tensor_parallel", 1),
         patience=getattr(args, "patience", None),
     )

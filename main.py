@@ -98,6 +98,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "rows around each query tile (certified + exactly "
                         "repaired; kernels/knn_pallas.py). Unset = the "
                         "DGCNNConfig default; 0 disables")
+    p.add_argument("--knn_band_feature", type=int, default=None,
+                   help="banded FEATURE-space kNN for stage 2: score only "
+                        "this many rows (spatial order localises the "
+                        "learned features; uncertified, trained-model "
+                        "evidenced — kernels/knn_pallas.py). Unset = the "
+                        "DGCNNConfig default; 0 disables")
     p.add_argument("--compute_dtype", type=str, default=None)
     p.add_argument("--matmul_precision", type=str, default=None,
                    choices=[None, "default", "high", "highest"],
@@ -223,6 +229,7 @@ def main(argv=None):
                 min_class_confidence=args.min_class_confidence,
                 model_label=args.model_label, model_root=args.model_root,
                 knn_impl=args.knn_impl, knn_band=args.knn_band,
+                knn_band_feature=args.knn_band_feature,
                 compute_dtype=args.compute_dtype,
                 matmul_precision=args.matmul_precision,
                 classify_all=args.classify_all,
