@@ -105,14 +105,22 @@ def bench_jax() -> dict:
         compile_s = time.perf_counter() - t0
         # median of 5 trials — the tunnelled device shows ±20% run-to-run
         # (BASELINE.md); the min/median/max band rides the extras so a
-        # regression is distinguishable from variance
+        # regression is distinguishable from variance. Within a trial all
+        # iters are dispatched ASYNC and synced once on the last scalar
+        # (single-stream FIFO: pulling iter N's value implies 0..N-1
+        # drained) — one tunnel round-trip per trial instead of one per
+        # iter, so rt jitter no longer rides every iteration.
+        for _ in range(3):      # warm the execution path post-compile
+            out = fwd(params, state, x)
+        float(out)
         trials = []
         for _ in range(5):
-            iters = 6
+            iters = 10
             t0 = time.perf_counter()
             for _ in range(iters):
-                float(fwd(params, state, x))
-            trials.append(max((time.perf_counter() - t0) / iters - rt, 1e-9))
+                out = fwd(params, state, x)
+            float(out)
+            trials.append(max((time.perf_counter() - t0 - rt) / iters, 1e-9))
         trials.sort()
         dt = trials[len(trials) // 2]
         pps = B * N / dt
@@ -202,14 +210,21 @@ def bench_train_step() -> float | None:
         state, m = step(state, pts, labels, mask)
         float(m["loss"])
         rt = _roundtrip_s()
-        t0 = time.perf_counter()
-        iters = 5
-        for _ in range(iters):
-            state, m = step(state, pts, labels, mask)
+        # async-dispatch the whole trial, sync once on the last loss
+        # (steps chain through the donated state anyway); median of 3
+        trials = []
+        for _ in range(3):
+            iters = 5
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, m = step(state, pts, labels, mask)
             float(m["loss"])
-        per = (time.perf_counter() - t0) / iters - rt
+            trials.append((time.perf_counter() - t0 - rt) / iters)
+        trials.sort()
+        per = trials[len(trials) // 2]
         log(f"train step (capped kNN): {per*1e3:.1f} ms "
-            f"= {B*N/per:,.0f} pts/s")
+            f"= {B*N/per:,.0f} pts/s "
+            f"[{trials[0]*1e3:.1f}..{trials[-1]*1e3:.1f}]")
         return per
     except Exception as e:
         log(f"train-step bench failed: {type(e).__name__}: {e}")
