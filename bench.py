@@ -334,17 +334,18 @@ def main():
         e2e = bench_e2e_tile()
         if e2e:
             extras["e2e_tile_s"] = round(e2e["seconds"], 1)
-    # headline: the hierarchical capped packed-key Pallas kernel —
-    # deterministic selection at 18-bit score precision, per-window cap 8
-    # with stride dispersal (99.9998% row agreement with the flat packed
-    # kernel; trained-model IoU delta vs f32-exact in BASELINE.md); the
-    # fully f32-exact path is reported in extras
+    # headline: the production default kNN stack — stage 1 banded over
+    # x-sorted rows (certified exact-or-repaired), stages 2-3 feature-
+    # banded (uncertified, trained-model-evidenced), all on the
+    # hierarchical capped packed-key Pallas kernel (18/19-bit score keys,
+    # per-window cap 8). Trained-model argmax agreement vs f32-exact
+    # 0.99995-0.999964 (BASELINE.md); the fully f32-exact path is in extras
     value = results["pallas-capped"]["points_per_sec"]
     out = {
         "metric": (f"points_per_sec_chip_infer_N{N}_k{K} "
-                   "(capped-packed kNN, recentered keys: 0.9995 set recall "
-                   "vs f32-exact, trained-model argmax agreement 99.989%, "
-                   "BASELINE.md; extras: f32-exact, flat packed)"),
+                   "(banded+capped packed kNN stack: trained-model argmax "
+                   "agreement vs f32-exact 0.99995-0.999964, BASELINE.md; "
+                   "extras: f32-exact, flat packed)"),
         "value": round(value, 1),
         "unit": "points/s",
         "vs_baseline": round(value / baseline, 2) if baseline else None,

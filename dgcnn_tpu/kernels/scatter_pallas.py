@@ -22,7 +22,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(idx_ref, dy_ref, out_ref, *accs, nchunk):
+def _kernel(idx_ref, dy_ref, out_ref, *accs, nchunk, unroll=1):
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -46,19 +46,26 @@ def _kernel(idx_ref, dy_ref, out_ref, *accs, nchunk):
         # iterations' read-modify-write chains hit DISJOINT arrays, so the
         # load of row r+1's accumulator can issue while row r's store
         # drains (the single-accumulator loop serialises on the possible
-        # same-address hazard). Copies are summed into out on the last
-        # grid step.
+        # same-address hazard). ``unroll`` rows per copy per fori step
+        # amortise the loop bookkeeping; rows hitting the SAME copy stay
+        # ``ncopies`` issue slots apart, so the hazard distance is
+        # unchanged. Copies are summed into out on the last grid step.
         def body(i, _):
-            r = i * ncopies
-            t = idx_ref[0, 0, r]
-            out_ref[0, pl.dslice(t, 1), :] += dy_ref[0, r, :][None, :]
-            for j, a in enumerate(accs):
-                tj = idx_ref[0, 0, r + 1 + j]
-                a[pl.dslice(tj, 1), :] += dy_ref[0, r + 1 + j, :][None, :]
+            r = i * ncopies * unroll
+            for t_off in range(unroll):
+                base = r + t_off * ncopies
+                t = idx_ref[0, 0, base]
+                out_ref[0, pl.dslice(t, 1), :] += dy_ref[0, base, :][None, :]
+                for j, a in enumerate(accs):
+                    tj = idx_ref[0, 0, base + 1 + j]
+                    a[pl.dslice(tj, 1), :] += (
+                        dy_ref[0, base + 1 + j, :][None, :]
+                    )
             return 0
 
-        # chunk is padded to a multiple of ncopies by the caller
-        jax.lax.fori_loop(0, chunk // ncopies, body, 0, unroll=False)
+        # chunk is padded to a multiple of ncopies*unroll by the caller
+        jax.lax.fori_loop(0, chunk // (ncopies * unroll), body, 0,
+                          unroll=False)
 
         @pl.when(c == nchunk - 1)
         def _merge():
@@ -69,7 +76,7 @@ def _kernel(idx_ref, dy_ref, out_ref, *accs, nchunk):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "chunk", "interpret", "copies")
+    jax.jit, static_argnames=("n", "chunk", "interpret", "copies", "unroll")
 )
 def scatter_add_rows(
     dy: jax.Array,
@@ -79,6 +86,7 @@ def scatter_add_rows(
     chunk: int = 2048,
     interpret: bool = False,
     copies: int = 1,
+    unroll: int = 1,
 ) -> jax.Array:
     """out[b, idx[b, m]] += dy[b, m]  — exact up to f32 sum order.
 
@@ -92,13 +100,20 @@ def scatter_add_rows(
             (breaks the serial same-address RMW hazard chain; copies are
             summed on the last grid step). 1 = the original single-
             accumulator loop.
+        unroll: rows per copy per fori step (multi-copy path only) —
+            amortises loop bookkeeping without shrinking the hazard
+            distance between same-copy rows.
 
     Returns:
         (B, n, C) float32 sums.
     """
     b, m, c = dy.shape
-    if chunk % copies:
-        raise ValueError(f"chunk {chunk} not divisible by copies {copies}")
+    if copies == 1:
+        unroll = 1
+    if chunk % (copies * unroll):
+        raise ValueError(
+            f"chunk {chunk} not divisible by copies*unroll "
+            f"{copies}*{unroll}")
     nchunk = -(-m // chunk)
     pad = nchunk * chunk - m
     if pad:  # padded rows dump into scratch row n (sliced off below)
@@ -108,7 +123,7 @@ def scatter_add_rows(
     dy3 = dy.reshape(b, nchunk * chunk, c)
     n_out = -(-(n + 1) // 8) * 8  # row n = pad dump; rows 8-aligned
     out = pl.pallas_call(
-        functools.partial(_kernel, nchunk=nchunk),
+        functools.partial(_kernel, nchunk=nchunk, unroll=unroll),
         grid=(b, nchunk),
         in_specs=[
             pl.BlockSpec(

@@ -100,11 +100,15 @@ class DGCNNConfig:
     # quality is trained-model-evidenced like the capped kernel itself:
     # in-band recall of true x1-space neighbours 0.99997 at band=4096 —
     # below the capped kernel's own ~5e-5/query cap-overflow loss
-    # (scripts/exp_feature_band_offline.py). x2-space (stage 3) is less
-    # localised — see the stage-3 gating in _knn. 0 disables (full capped
+    # (scripts/exp_feature_band_offline.py). 0 disables (full capped
     # kernel). Unsorted POINT inputs fall back at runtime (the sortedness
     # flag is computed from the coordinates in _apply_dgcnn).
-    knn_band_feature: int = 0
+    # Default 4096 = the combo-sweep winner on BOTH stages (forward
+    # 25.4 ms vs capped's 27.4-28.9 drift bracket, train step 79.8 ->
+    # ~76.4; trained argmax agreement vs f32-exact 0.999964 @4096 —
+    # capped's own is 0.999929; @2048 degrades to 0.9997 — scripts/
+    # exp_fsb2.py log 2026-08-17). 30-epoch soak: BASELINE.md.
+    knn_band_feature: int = 4096
     # Fused eval EdgeConv stage kernels with in-kernel gather
     # (kernels/edgeconv_pallas.py): the (B,N,k,C) gathered tensor never
     # touches HBM — measured ~2x per stage vs the XLA chain, bit-exact.
@@ -326,8 +330,7 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
         # banded kernel scores only knn_band rows around each query tile
         # (certified exact-or-repaired against the sorted-order distance
         # bound; unsorted inputs self-detect and fall back). Feature-space
-        # stages (2-3) stay on the full capped kernel — measured too
-        # de-localised to band (kernels/knn_pallas.py).
+        # stages (2-3) band UNcertified at knn_band_feature (below).
         from dgcnn_tpu.kernels.knn_pallas import knn_pallas_banded
 
         return checkpoint_name(
@@ -586,7 +589,8 @@ def _apply_dgcnn(
             return x2, new_state
         tap = x2
 
-    x3, upd = _edge_stage_single_conv(x2, cfg, params, state, train=train)
+    x3, upd = _edge_stage_single_conv(x2, cfg, params, state, train=train,
+                                      sorted_ok=sorted_ok)
     new_state.update(upd)
     if depth == 3:
         if not with_logits:

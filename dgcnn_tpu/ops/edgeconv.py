@@ -98,11 +98,18 @@ def _gather_bwd(res, dy):
         copies = 1 << (copies.bit_length() - 1)
         while copies > 1 and chunk % copies:
             copies //= 2
-        while copies > 1 and copies * acc_bytes > 16 * 2**20:
+        acc_mb = float(os.environ.get("DGCNN_SCATTER_VMEM_MB", 16))
+        while copies > 1 and copies * acc_bytes > acc_mb * 2**20:
             copies //= 2
+        # rows per copy per loop step (kernel bookkeeping amortisation;
+        # hazard distance unchanged) — same power-of-two sanitisation
+        unroll = max(int(os.environ.get("DGCNN_SCATTER_UNROLL", 1)), 1)
+        unroll = 1 << (unroll.bit_length() - 1)
+        while unroll > 1 and chunk % (copies * unroll):
+            unroll //= 2
         da = scatter_add_rows(
             dy.reshape(b, n * k, c), idx.reshape(b, n * k), n,
-            copies=copies, chunk=chunk,
+            copies=copies, chunk=chunk, unroll=unroll,
         )
     else:
         table = jnp.zeros((b * n, c), dtype)
