@@ -146,6 +146,103 @@ def _native_decode(
     )
 
 
+# field ids of native/dtmgen/dtmgen.cpp::dtmgen_las_load's `extra` pairs
+_LOAD_FIELD_IDS = {
+    "intensity": 0, "return_number": 1, "number_of_returns": 2,
+    "red": 3, "green": 4, "blue": 5,
+}
+_RGB_FORMATS = (2, 3, 7, 8)
+
+
+def load_las_matrix(
+    path: str,
+    features: dict[str, int],
+    features_output: list[str],
+    filter_noise_points: bool = True,
+    max_nn_dist: float = 1.0,
+) -> tuple[np.ndarray, np.ndarray, int] | None:
+    """Fused native load: LAS decode + isolated-point noise filter +
+    compacted feature-matrix assembly in ONE libdtmgen call
+    (native/dtmgen/dtmgen.cpp::dtmgen_las_load) — two parallel passes over
+    the record buffer, no intermediate per-field arrays, no Python-side
+    boolean compaction. Byte-equal to the loaders.py fallback chain
+    (tests/test_loaders.py). ``features``/``features_output`` must be
+    lower-cased (loaders.load_pointcloud normalises them).
+
+    Returns ``(data (n_kept, width) float64, labels (n_kept,) int64,
+    n_dropped)``, or None when the native path can't serve this file
+    (lib unbuilt, big-endian host, unsupported/truncated file — the
+    caller's numpy chain then produces the canonical result or error).
+    """
+    import ctypes
+    import sys
+
+    if sys.byteorder != "little":
+        return None
+    try:
+        from dgcnn_tpu.prepare.dtm import _native_lib
+    except Exception:
+        return None
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "dtmgen_las_load"):
+        return None
+    try:
+        with open(path, "rb") as f:
+            head = f.read(375)
+            if head[:4] != _SIGNATURE or head[104] & 0x80:
+                return None
+            point_offset = struct.unpack_from("<I", head, 96)[0]
+            point_format = head[104] & 0x3F
+            record_len = struct.unpack_from("<H", head, 105)[0]
+            n_points = struct.unpack_from("<I", head, 107)[0]
+            scale = struct.unpack_from("<3d", head, 131)
+            offset = struct.unpack_from("<3d", head, 155)
+            if (head[24], head[25]) >= (1, 4):
+                n64 = struct.unpack_from("<Q", head, 247)[0]
+                if n64:
+                    n_points = n64
+            if (point_format not in _POINT_DTYPES
+                    or record_len < _POINT_DTYPES[point_format].itemsize
+                    or n_points == 0):
+                return None
+            f.seek(point_offset)
+            raw = f.read(record_len * n_points)
+    except OSError:
+        return None
+    if len(raw) < record_len * n_points:
+        return None
+
+    width = max(features[f] for f in features) + 1
+    extras: list[int] = []
+    for name in features_output:
+        if name in ("x", "y", "z") or name not in features:
+            continue
+        fid = _LOAD_FIELD_IDS.get(name)
+        if fid is None:  # 'agl' stays zero-filled; unknown names skipped
+            continue
+        if fid >= 3 and point_format not in _RGB_FORMATS:
+            continue  # rgb requested from an rgb-less format → zeros
+        extras += [fid, features[name]]
+    extra_arr = np.asarray(extras, np.int32)
+
+    data = np.zeros((n_points, width), np.float64)
+    labels = np.empty(n_points, np.int64)
+    n_kept = lib.dtmgen_las_load(
+        ctypes.cast(ctypes.c_char_p(raw), ctypes.POINTER(ctypes.c_uint8)),
+        n_points, record_len, point_format,
+        scale[0], scale[1], scale[2], offset[0], offset[1], offset[2],
+        float(max_nn_dist) if filter_noise_points else 0.0,
+        width, features["x"], features["y"], features["z"],
+        extra_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(extras) // 2,
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if n_kept < 0:
+        return None
+    return data[:n_kept], labels[:n_kept], n_points - n_kept
+
+
 def _read_las_stream(f: BinaryIO) -> LasData:
     head = f.read(375)
     if head[:4] != _SIGNATURE:

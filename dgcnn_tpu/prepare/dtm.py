@@ -304,6 +304,20 @@ def _native_lib():
         ]
     except AttributeError:
         pass
+    try:  # fused decode+noise+assembly (stale builds lack it)
+        lib.dtmgen_las_load.restype = ctypes.c_int64
+        lib.dtmgen_las_load.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+        ]
+    except AttributeError:
+        pass
     _LIB = lib
     return lib
 

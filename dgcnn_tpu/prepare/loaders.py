@@ -44,6 +44,22 @@ def load_pointcloud(
                              f"(features map missing {c!r})")
 
     ext = filename.rsplit(".", 1)[-1].lower()
+    if ext == "las":
+        # fused native fast path: decode + noise filter + compacted
+        # matrix assembly in one libdtmgen call (byte-equal to the chain
+        # below — tests/test_loaders.py); None → fall through
+        from dgcnn_tpu.io.las import load_las_matrix
+
+        fused = load_las_matrix(
+            filename, features, features_output,
+            filter_noise_points=filter_noise_points,
+            max_nn_dist=max_nn_dist,
+        )
+        if fused is not None:
+            data, labels, dropped = fused
+            if dropped:
+                print(f"Filtered {dropped} noise points", file=sys.stderr)
+            return data, labels
     if ext == "h5":
         raw = read_h5_pointcloud(filename)
         n = len(raw["position"])

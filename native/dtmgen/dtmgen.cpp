@@ -574,26 +574,45 @@ extern "C" int dtmgen_agl_knn(const double* ref_xy, const double* ref_z,
 // gps/rgb output pointers must be null unless the format carries the
 // field (checked). record_len may exceed the format's base size (extra
 // per-point bytes are skipped, like the numpy twin's opaque padding).
+namespace {
+// LAS point-record layout by format id (classic 0-3, LAS 1.4 modern 6-8)
+struct LasFmt {
+  int gps_off = -1, rgb_off = -1, min_len = 0;
+  bool modern = false;  // formats 6-8 (extended records)
+  bool ok = false;
+};
+LasFmt LasFmtInfo(int point_format) {
+  LasFmt f;
+  f.ok = true;
+  switch (point_format) {
+    case 0: f.min_len = 20; break;
+    case 1: f.min_len = 28; f.gps_off = 20; break;
+    case 2: f.min_len = 26; f.rgb_off = 20; break;
+    case 3: f.min_len = 34; f.gps_off = 20; f.rgb_off = 28; break;
+    case 6: f.min_len = 30; f.gps_off = 22; f.modern = true; break;
+    case 7:
+      f.min_len = 36; f.gps_off = 22; f.rgb_off = 30; f.modern = true;
+      break;
+    case 8:
+      f.min_len = 38; f.gps_off = 22; f.rgb_off = 30; f.modern = true;
+      break;
+    default: f.ok = false;
+  }
+  return f;
+}
+}  // namespace
+
 extern "C" int dtmgen_las_decode(
     const uint8_t* buf, int64_t n, int record_len, int point_format,
     double sx, double sy, double sz, double ox, double oy, double oz,
     double* xs, double* ys, double* zs, uint8_t* cls, uint16_t* intensity,
     uint8_t* ret_num, uint8_t* num_ret, uint16_t* psid, double* gps,
     uint16_t* rgb) {
-  int gps_off = -1, rgb_off = -1, min_len = 0;
-  bool modern = false;  // formats 6-8 (LAS 1.4 extended records)
-  switch (point_format) {
-    case 0: min_len = 20; break;
-    case 1: min_len = 28; gps_off = 20; break;
-    case 2: min_len = 26; rgb_off = 20; break;
-    case 3: min_len = 34; gps_off = 20; rgb_off = 28; break;
-    case 6: min_len = 30; gps_off = 22; modern = true; break;
-    case 7: min_len = 36; gps_off = 22; rgb_off = 30; modern = true; break;
-    case 8: min_len = 38; gps_off = 22; rgb_off = 30; modern = true; break;
-    default: return 1;
-  }
-  if (record_len < min_len) return 1;
-  if ((gps && gps_off < 0) || (rgb && rgb_off < 0)) return 1;
+  const LasFmt fm = LasFmtInfo(point_format);
+  if (!fm.ok || record_len < fm.min_len) return 1;
+  if ((gps && fm.gps_off < 0) || (rgb && fm.rgb_off < 0)) return 1;
+  const int gps_off = fm.gps_off, rgb_off = fm.rgb_off;
+  const bool modern = fm.modern;
   const int cls_off = modern ? 16 : 15;
   const int psid_off = modern ? 20 : 18;
   ParallelFor(n, 65536, [&](int64_t lo, int64_t hi) {
@@ -626,6 +645,122 @@ extern "C" int dtmgen_las_decode(
     }
   });
   return 0;
+}
+
+// Fused predict-load: decode an uncompressed LAS point-record block,
+// noise-filter it (grid-hash 1-NN < max_nn_dist — same kernel as
+// dtmgen_noise_mask), and write the COMPACTED (n_kept, width) float64
+// feature matrix + int64 labels in ONE native call. Replaces the
+// Python chain decode → column-stack → noise mask → boolean compaction
+// (dgcnn_tpu/prepare/loaders.py::load_pointcloud; reference semantics:
+// /root/reference/prepare_data/process_data.py:96-123) with two passes
+// over the record buffer and zero Python-side array traffic.
+//
+//   extra: n_extra (field_id, out_column) int32 pairs; field ids:
+//          0=intensity 1=return_number 2=number_of_returns
+//          3=red 4=green 5=blue
+//   data:  (n, width) float64, caller-ZEROED (unwritten columns — e.g. a
+//          mapped 'agl' the file cannot provide — stay 0, matching the
+//          numpy path); rows [n_kept, n) are scratch, slice them off
+//   labels:(n,) int64
+//
+// Returns n_kept, or -1 on error (unsupported format / bad columns /
+// rgb field requested from an rgb-less format).
+extern "C" int64_t dtmgen_las_load(
+    const uint8_t* buf, int64_t n, int record_len, int point_format,
+    double sx, double sy, double sz, double ox, double oy, double oz,
+    double max_nn_dist, int width, int col_x, int col_y, int col_z,
+    const int32_t* extra, int n_extra, double* data, int64_t* labels) {
+  const LasFmt fm = LasFmtInfo(point_format);
+  if (!fm.ok || record_len < fm.min_len) return -1;
+  if (col_x < 0 || col_x >= width || col_y < 0 || col_y >= width ||
+      col_z < 0 || col_z >= width)
+    return -1;
+  for (int e = 0; e < n_extra; ++e) {
+    const int fid = extra[2 * e], col = extra[2 * e + 1];
+    if (fid < 0 || fid > 5 || col < 0 || col >= width) return -1;
+    if (fid >= 3 && fm.rgb_off < 0) return -1;
+  }
+  if (n == 0) return 0;
+  const bool modern = fm.modern;
+  const int cls_off = modern ? 16 : 15;
+
+  // pass 1: coordinates (interleaved — the noise index wants xyz triplets)
+  std::vector<double> xyz(size_t(n) * 3);
+  ParallelFor(n, 65536, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint8_t* r = buf + i * record_len;
+      int32_t xi, yi, zi;
+      std::memcpy(&xi, r, 4);
+      std::memcpy(&yi, r + 4, 4);
+      std::memcpy(&zi, r + 8, 4);
+      xyz[i * 3] = xi * sx + ox;
+      xyz[i * 3 + 1] = yi * sy + oy;
+      xyz[i * 3 + 2] = zi * sz + oz;
+    }
+  });
+
+  std::vector<uint8_t> keep(n, 1);
+  if (max_nn_dist > 0 && n >= 2) {
+    if (dtmgen_noise_mask(xyz.data(), n, max_nn_dist, keep.data()))
+      return -1;
+  }
+
+  // blocked prefix sum of the keep mask → each block's output offset
+  const int64_t block = 1 << 16;
+  const int64_t nb = (n + block - 1) / block;
+  std::vector<int64_t> off(size_t(nb) + 1, 0);
+  ParallelFor(nb, 1, [&](int64_t blo, int64_t bhi) {
+    for (int64_t b = blo; b < bhi; ++b) {
+      const int64_t lo = b * block, hi = std::min(n, lo + block);
+      int64_t cnt = 0;
+      for (int64_t i = lo; i < hi; ++i) cnt += keep[i];
+      off[b + 1] = cnt;
+    }
+  });
+  for (int64_t b = 0; b < nb; ++b) off[b + 1] += off[b];
+
+  // pass 2: compacted row write. Extras first, then xyz — a feature
+  // deliberately mapped onto a coordinate column is overwritten by the
+  // coordinate, matching loaders.py's assignment order.
+  ParallelFor(nb, 1, [&](int64_t blo, int64_t bhi) {
+    for (int64_t b = blo; b < bhi; ++b) {
+      const int64_t lo = b * block, hi = std::min(n, lo + block);
+      int64_t j = off[b];
+      for (int64_t i = lo; i < hi; ++i) {
+        if (!keep[i]) continue;
+        const uint8_t* r = buf + i * record_len;
+        double* row = data + j * width;
+        for (int e = 0; e < n_extra; ++e) {
+          const int fid = extra[2 * e], col = extra[2 * e + 1];
+          double v = 0.0;
+          uint16_t u16v;
+          switch (fid) {
+            case 0:
+              std::memcpy(&u16v, r + 12, 2);
+              v = u16v;
+              break;
+            case 1:
+              v = modern ? (r[14] & 0x0F) : (r[14] & 0x07);
+              break;
+            case 2:
+              v = modern ? ((r[14] >> 4) & 0x0F) : ((r[14] >> 3) & 0x07);
+              break;
+            default:  // 3/4/5 = red/green/blue
+              std::memcpy(&u16v, r + fm.rgb_off + 2 * (fid - 3), 2);
+              v = u16v;
+          }
+          row[col] = v;
+        }
+        row[col_x] = xyz[i * 3];
+        row[col_y] = xyz[i * 3 + 1];
+        row[col_z] = xyz[i * 3 + 2];
+        labels[j] = modern ? r[cls_off] : (r[cls_off] & 0x1F);
+        ++j;
+      }
+    }
+  });
+  return off[nb];
 }
 
 #ifndef DTMGEN_NO_MAIN

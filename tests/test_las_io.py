@@ -216,3 +216,118 @@ def test_native_decode_matches_numpy_modern(tmp_path, rng, fmt, extra,
     b = _numpy_decode(path, monkeypatch)
     assert a.point_format == fmt and a.version == (1, 4)
     _assert_las_equal(a, b)
+
+
+# ------------------------------------------------------------- fused load
+# dtmgen_las_load: decode + noise filter + compacted feature-matrix
+# assembly in one native call — must equal the loaders.py fallback chain
+# (decode → column stack → filter_noise → boolean compaction) EXACTLY
+# (same f64 arithmetic, same grid-hash noise kernel).
+
+
+def _load_fallback(path, features, features_output, filter_noise,
+                   monkeypatch):
+    """load_pointcloud with the fused native path disabled."""
+    import dgcnn_tpu.io.las as las_mod
+    from dgcnn_tpu.prepare.loaders import load_pointcloud
+
+    monkeypatch.setattr(las_mod, "load_las_matrix", lambda *a, **k: None)
+    try:
+        return load_pointcloud(path, features_output=features_output,
+                               features=features,
+                               filter_noise_points=filter_noise)
+    finally:
+        monkeypatch.undo()
+
+
+@pytest.mark.skipif(not NATIVE_LAS, reason="no C++ toolchain for libdtmgen")
+@pytest.mark.parametrize("fmt,filter_noise", [(0, True), (3, True),
+                                              (3, False), (2, True)])
+def test_fused_load_matches_fallback_classic(tmp_path, rng, fmt,
+                                             filter_noise, monkeypatch):
+    """Dense cluster + isolated far points: the fused path must drop the
+    same rows and produce a bit-identical matrix. Format 0 additionally
+    exercises rgb-requested-from-rgbless-format (column stays zero)."""
+    from dgcnn_tpu.io.las import load_las_matrix
+    from dgcnn_tpu.prepare.loaders import load_pointcloud
+
+    n = 900
+    x = np.concatenate([rng.random(n - 3) * 5 + 5e5,
+                        5e5 + np.array([500.0, 900.0, 1400.0])])
+    y = np.concatenate([rng.random(n - 3) * 5 + 6e6,
+                        6e6 + np.array([500.0, 900.0, 1400.0])])
+    z = np.concatenate([rng.random(n - 3) * 2, np.array([3.0, 4.0, 5.0])])
+    kw = dict(intensity=rng.integers(0, 65535, n).astype(np.uint16),
+              return_number=rng.integers(1, 5, n).astype(np.uint8),
+              number_of_returns=rng.integers(1, 5, n).astype(np.uint8))
+    if fmt in (2, 3):
+        for c in ("red", "green", "blue"):
+            kw[c] = rng.integers(0, 65535, n).astype(np.uint16)
+    path = str(tmp_path / f"f{fmt}.las")
+    write_las(path, x, y, z, rng.integers(0, 31, n), point_format=fmt,
+              **kw)
+
+    features = {"x": 0, "y": 1, "z": 2, "agl": 3, "intensity": 4,
+                "red": 5, "return_number": 6}
+    out_cols = ["x", "y", "z", "agl", "intensity", "red", "return_number"]
+    fused = load_las_matrix(path, features, out_cols,
+                            filter_noise_points=filter_noise)
+    assert fused is not None  # NATIVE_LAS guaranteed the lib
+    data_f, labels_f, dropped = fused
+    data_b, labels_b = _load_fallback(path, features, out_cols,
+                                      filter_noise, monkeypatch)
+    assert dropped == (3 if filter_noise else 0)
+    np.testing.assert_array_equal(data_f, data_b)
+    np.testing.assert_array_equal(labels_f, labels_b)
+    assert labels_f.dtype == labels_b.dtype == np.int64
+    np.testing.assert_array_equal(data_f[:, 3], 0.0)  # agl zero-filled
+    if fmt == 0:  # rgb-less format: requested red column stays zero
+        np.testing.assert_array_equal(data_f[:, 5], 0.0)
+
+    # the public entry must route through the fused path and match too
+    data_p, labels_p = load_pointcloud(
+        path, features_output=out_cols, features=features,
+        filter_noise_points=filter_noise)
+    np.testing.assert_array_equal(data_p, data_b)
+    np.testing.assert_array_equal(labels_p, labels_b)
+
+
+@pytest.mark.skipif(not NATIVE_LAS, reason="no C++ toolchain for libdtmgen")
+@pytest.mark.parametrize("fmt,extra", [(6, 0), (8, 5)])
+def test_fused_load_matches_fallback_modern(tmp_path, rng, fmt, extra,
+                                            monkeypatch):
+    """LAS 1.4 extended records (+ extra per-point bytes): fused load
+    equals the fallback, including the 4-bit return fields and the
+    unmasked 8-bit classification."""
+    from dgcnn_tpu.io.las import _POINT_DTYPES, load_las_matrix
+
+    base = _POINT_DTYPES[fmt]
+    dtype = (base if not extra
+             else np.dtype(base.descr + [("extra", "V", extra)]))
+    n = 400
+    pts = np.zeros(n, dtype)
+    for name in base.names:
+        info = base.fields[name][0]
+        if info.kind in "iu":
+            lo, hi = np.iinfo(info).min, np.iinfo(info).max
+            pts[name] = rng.integers(lo, int(hi) + 1, n).astype(info)
+        elif info.kind == "f":
+            pts[name] = rng.random(n) * 1e6
+    # coordinates tight enough that scaled values form a plausible cloud
+    for f_, o in (("X", 0), ("Y", 1), ("Z", 2)):
+        pts[f_] = rng.integers(0, 20000, n).astype(np.int32)
+    path = str(tmp_path / f"m{fmt}.las")
+    _write_las14(path, fmt, pts, (0.001, 0.001, 0.001), (5e5, 6e6, 0.0))
+
+    features = {"x": 0, "y": 1, "z": 2, "intensity": 3,
+                "number_of_returns": 4}
+    out_cols = list(features)
+    fused = load_las_matrix(path, features, out_cols,
+                            filter_noise_points=True)
+    assert fused is not None
+    data_f, labels_f, dropped = fused
+    data_b, labels_b = _load_fallback(path, features, out_cols, True,
+                                      monkeypatch)
+    assert len(data_f) + dropped == n
+    np.testing.assert_array_equal(data_f, data_b)
+    np.testing.assert_array_equal(labels_f, labels_b)
