@@ -1,0 +1,92 @@
+"""One-process TPU batch (restart-robust): retry backend init until the
+chip claim succeeds, then entry check, scatter-unroll sweep, feature-band
+qt sweep, fused-stage tile re-check under feature banding, bench, and the
+30-epoch all-new-defaults soak. One process = one TPU claim.
+
+    python scripts/tpu_batch_r3i.py > /tmp/tpu_batch_r3i.log 2>&1
+"""
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from dgcnn_tpu.utils.compilation_cache import (
+    enable_persistent_compilation_cache,
+)
+
+enable_persistent_compilation_cache()
+
+
+def banner(tag):
+    print(f"\n===== {tag} @ {time.strftime('%H:%M:%S')} =====", flush=True)
+
+
+def wait_for_device(max_s=3600, retry_s=60):
+    """Block until jax can see the TPU (the claim can be held by a dying
+    session for a while; UNAVAILABLE init errors are retried)."""
+    import jax
+
+    t0 = time.time()
+    while True:
+        try:
+            d = jax.devices()[0]
+            print(f"device up: {d.device_kind} after {time.time()-t0:.0f}s",
+                  flush=True)
+            return True
+        except RuntimeError as e:
+            if time.time() - t0 > max_s:
+                print(f"device never came up in {max_s}s: {e!r}", flush=True)
+                return False
+            print(f"init retry ({time.time()-t0:.0f}s): {str(e)[:120]}",
+                  flush=True)
+            time.sleep(retry_s)
+
+
+def run_stage(tag, fn):
+    banner(tag)
+    try:
+        fn()
+    except Exception:
+        print(f"{tag} FAILED:", flush=True)
+        traceback.print_exc()
+
+
+def main():
+    if not wait_for_device():
+        sys.exit(1)
+
+    def entry_check():
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = fn(*args)
+        out.block_until_ready()
+        print("entry forward:", out.shape, out.dtype, flush=True)
+
+    run_stage("entry check", entry_check)
+
+    def _mod(name):
+        import importlib
+
+        return importlib.import_module(f"scripts.{name}").main
+
+    run_stage("exp_scatter_unroll", _mod("exp_scatter_unroll"))
+    run_stage("exp_fb_qt", _mod("exp_fb_qt"))
+    run_stage("exp_stage_tiles_fb", _mod("exp_stage_tiles_fb"))
+
+    def bench_run():
+        sys.argv = ["bench.py"]
+        import bench
+
+        bench.main()
+
+    run_stage("bench", bench_run)
+    run_stage("soak: full_pipeline_tpu (30 epochs, all-new defaults)",
+              _mod("full_pipeline_tpu"))
+    banner("DONE")
+
+
+if __name__ == "__main__":
+    main()

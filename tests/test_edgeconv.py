@@ -100,20 +100,61 @@ def test_scatter_pallas_kernel_interpret(rng):
                                atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("copies", [2, 4])
-def test_scatter_pallas_copies_variants(copies, rng):
-    """The accumulator-copies knob (rotating rows across independent VMEM
-    accumulators to break the serial RMW chain) must be a pure perf knob:
-    results equal the single-accumulator kernel up to f32 sum order."""
+@pytest.mark.parametrize("copies,unroll", [(2, 1), (4, 1), (2, 4), (4, 2)])
+def test_scatter_pallas_copies_variants(copies, unroll, rng):
+    """The accumulator-copies and per-copy unroll knobs (rotating rows
+    across independent VMEM accumulators to break the serial RMW chain;
+    unroll amortises loop bookkeeping) must be pure perf knobs: results
+    equal the single-accumulator kernel up to f32 sum order."""
     from dgcnn_tpu.kernels.scatter_pallas import scatter_add_rows
 
     b, m, c, n = 2, 500, 16, 40
     dy = jnp.asarray(rng.standard_normal((b, m, c)), jnp.float32)
     idx = jnp.asarray(rng.integers(0, n, (b, m)), jnp.int32)
     got = scatter_add_rows(dy, idx, n, chunk=128, copies=copies,
-                           interpret=True)
+                           unroll=unroll, interpret=True)
     want = jnp.zeros((b, n, c)).at[jnp.arange(b)[:, None], idx].add(dy)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_scatter_env_knob_sanitisation(rng, monkeypatch):
+    """DGCNN_SCATTER_UNROLL / _COPIES values that aren't powers of two (or
+    don't divide the chunk) must be sanitised at the knob, not raise
+    inside the backward pass mid-training. Forces the TPU branch of
+    _gather_bwd on CPU via a spied interpret-mode kernel."""
+    import dgcnn_tpu.kernels.scatter_pallas as sp
+    from dgcnn_tpu.ops.edgeconv import gather_neighbors
+
+    calls = {}
+    orig = sp.scatter_add_rows
+
+    def spy(dy, idx, n, **kw):
+        calls.update(kw)
+        kw["interpret"] = True
+        return orig(dy, idx, n, **kw)
+
+    monkeypatch.setattr(sp, "scatter_add_rows", spy)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("DGCNN_SCATTER_COPIES", "3")   # not a pow2
+    monkeypatch.setenv("DGCNN_SCATTER_UNROLL", "48")  # not a pow2, big
+    b, n, k, c = 2, 64, 4, 8
+    x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)), jnp.int32)
+
+    def loss(x_):
+        return jnp.sum(gather_neighbors(x_, idx) ** 2)
+
+    g = jax.grad(loss)(x)
+    assert calls["copies"] == 2, calls             # 3 → pow2 clamp
+    chunk = calls["chunk"]
+    assert chunk % (calls["copies"] * calls["unroll"]) == 0, calls
+    want = jax.grad(
+        lambda x_: jnp.sum(
+            jnp.take_along_axis(
+                x_[:, :, None, :], idx[..., None], axis=1) ** 2)
+    )(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
 
 
