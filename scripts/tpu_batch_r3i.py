@@ -23,25 +23,25 @@ def banner(tag):
     print(f"\n===== {tag} @ {time.strftime('%H:%M:%S')} =====", flush=True)
 
 
-def wait_for_device(max_s=3600, retry_s=60):
-    """Block until jax can see the TPU (the claim can be held by a dying
-    session for a while; UNAVAILABLE init errors are retried)."""
+def wait_for_device():
+    """Single blocking claim attempt. jax caches a FAILED backend init for
+    the process lifetime, so retries must happen across processes — drive
+    this script with e.g.
+        for i in $(seq 30); do python scripts/tpu_batch_r3i.py && break
+            sleep 120; done
+    (exit 1 = claim failed; any stage failure still exits 0)."""
     import jax
 
     t0 = time.time()
-    while True:
-        try:
-            d = jax.devices()[0]
-            print(f"device up: {d.device_kind} after {time.time()-t0:.0f}s",
-                  flush=True)
-            return True
-        except RuntimeError as e:
-            if time.time() - t0 > max_s:
-                print(f"device never came up in {max_s}s: {e!r}", flush=True)
-                return False
-            print(f"init retry ({time.time()-t0:.0f}s): {str(e)[:120]}",
-                  flush=True)
-            time.sleep(retry_s)
+    try:
+        d = jax.devices()[0]
+        print(f"device up: {d.device_kind} after {time.time()-t0:.0f}s",
+              flush=True)
+        return True
+    except RuntimeError as e:
+        print(f"device claim failed after {time.time()-t0:.0f}s: "
+              f"{str(e)[:160]}", flush=True)
+        return False
 
 
 def run_stage(tag, fn):
