@@ -355,4 +355,22 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError as e:
+        # The tunnelled chip's claim can be held by a dying session for
+        # tens of minutes, and jax caches a failed backend init for the
+        # process lifetime — so retry across PROCESSES via re-exec. Keeps
+        # the driver's end-of-round bench run alive through transient
+        # claim outages. DGCNN_BENCH_CLAIM_RETRIES=0 disables.
+        if "Unable to initialize backend" not in str(e):
+            raise
+        tries = int(os.environ.get("DGCNN_BENCH_CLAIM_RETRIES", 3))
+        if tries <= 0:
+            raise
+        sleep_s = int(os.environ.get("DGCNN_BENCH_CLAIM_SLEEP", 120))
+        log(f"TPU claim failed; sleeping {sleep_s}s then re-exec "
+            f"({tries - 1} retries left): {e}")
+        time.sleep(sleep_s)
+        env = dict(os.environ, DGCNN_BENCH_CLAIM_RETRIES=str(tries - 1))
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
