@@ -456,10 +456,22 @@ extern "C" int dtmgen_noise_mask(const double* xyz, int64_t n,
   auto clamp = [](int64_t v, int64_t n_) {
     return std::max<int64_t>(0, std::min(v, n_ - 1));
   };
+  // Cell-ordered coordinate copy: candidate scans become CONTIGUOUS reads
+  // (the original xyz is in arbitrary order, so order[s] indirection made
+  // every candidate a cache miss — measured 2.4x slower at 400k points).
+  // One extra parallel 9.6 MB/400k-pt sequential pass buys it.
+  std::vector<double> sx(n), sy(n), sz(n);
+  ParallelFor(n, 65536, [&](int64_t lo, int64_t hi) {
+    for (int64_t s = lo; s < hi; ++s) {
+      const int64_t j = ci.order[s];
+      sx[s] = xyz[j * 3];
+      sy[s] = xyz[j * 3 + 1];
+      sz[s] = xyz[j * 3 + 2];
+    }
+  });
   ParallelFor(n, 20000, [&](int64_t lo, int64_t hi) {
   for (int64_t slot = lo; slot < hi; ++slot) {
-    const int64_t i = ci.order[slot];
-    const double px = xyz[i * 3], py = xyz[i * 3 + 1], pz = xyz[i * 3 + 2];
+    const double px = sx[slot], py = sy[slot], pz = sz[slot];
     const int64_t cx =
         clamp(int64_t(std::floor((px - ci.ox) / ci.cell)), ci.nx);
     const int64_t cy =
@@ -470,18 +482,17 @@ extern "C" int dtmgen_noise_mask(const double* xyz, int64_t n,
     for (int o = 0; o < 27 && !found; ++o) {
       auto r = ci.range(cx + kOff[o][0], cy + kOff[o][1], cz + kOff[o][2]);
       for (int64_t s = r.first; s < r.second; ++s) {
-        const int64_t j = ci.order[s];
-        if (j == i) continue;
-        const double ddx = xyz[j * 3] - px;
-        const double ddy = xyz[j * 3 + 1] - py;
-        const double ddz = xyz[j * 3 + 2] - pz;
+        if (s == slot) continue;  // self (slots are unique per point)
+        const double ddx = sx[s] - px;
+        const double ddy = sy[s] - py;
+        const double ddz = sz[s] - pz;
         if (ddx * ddx + ddy * ddy + ddz * ddz < max_sq) {
           found = true;
           break;
         }
       }
     }
-    keep[i] = found ? 1 : 0;
+    keep[ci.order[slot]] = found ? 1 : 0;
   }
   });
   return 0;
