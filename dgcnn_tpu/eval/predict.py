@@ -52,6 +52,11 @@ def _classify_whole_sharded(
     # (/root/reference/test.py:298-301)
     x[:, 0] -= x[:, 0].min()
     x[:, 1] -= x[:, 1].min()
+    # x-sort the cloud so the banded ring's sorted-order certificate can
+    # engage (parallel/ring_knn.py; kNN is permutation-equivariant —
+    # predictions are scattered back to the input order below)
+    order = np.argsort(x[:, 0], kind="stable")
+    x = x[order]
     n_pad = -(-n // point_shards) * point_shards
     if n_pad != n:
         x = np.concatenate([x, np.repeat(x[-1:], n_pad - n, 0)])
@@ -63,7 +68,9 @@ def _classify_whole_sharded(
     conf = jnp.max(probs, axis=-1)
     pred = jnp.argmax(probs, axis=-1)
     pred = jnp.where(conf < min_class_confidence, UNCLASSIFIED, pred)
-    return np.asarray(pred[:n], np.int32)
+    out = np.empty(n, np.int32)
+    out[order] = np.asarray(pred[:n], np.int32)
+    return out
 
 
 def predict_load(

@@ -109,6 +109,21 @@ class DGCNNConfig:
     # capped's own is 0.999929; @2048 degrades to 0.9997 — scripts/
     # exp_fsb2.py log 2026-08-17). 30-epoch soak: BASELINE.md.
     knn_band_feature: int = 4096
+    # Banded RING kNN for the point-sharded path (parallel/ring_knn.py):
+    # the spatial stage-1 ring visits only the 2s+1 ring-adjacent shards
+    # instead of all d, CERTIFIED per query against the x-sorted
+    # shard-boundary gap with a lax.cond fallback to the exact full ring
+    # (unsorted input / any failed certificate) — always exact, O(N·band)
+    # when certified. 0 disables (full ring). The whole-cloud predict
+    # path (--point_shards) x-sorts the cloud so the certificate can
+    # engage.
+    ring_band_shards: int = 1
+    # Same banding for the ring's FEATURE-space stages 2-3 — UNcertified
+    # (no sound certificate exists for learned-feature distances; same
+    # evidence class as knn_band_feature, gated on the coordinates being
+    # globally x-sorted). 0 (default) keeps stages 2-3 on the exact full
+    # ring; opt in once banded-ring agreement is evidenced on your data.
+    ring_band_feature_shards: int = 0
     # Fused eval EdgeConv stage kernels with in-kernel gather
     # (kernels/edgeconv_pallas.py): the (B,N,k,C) gathered tensor never
     # touches HBM — measured ~2x per stage vs the XLA chain, bit-exact.
@@ -177,6 +192,11 @@ class DGCNNConfig:
             raise ValueError(
                 f"knn_band_feature {self.knn_band_feature!r} must be a "
                 "non-negative multiple of 256")
+        for f_ in ("ring_band_shards", "ring_band_feature_shards"):
+            v = getattr(self, f_)
+            if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+                raise ValueError(
+                    f"{f_} {v!r} must be a non-negative int")
         if not isinstance(self.knn_train_unroll, bool):
             # "auto" resolution lives in train/loop.py (it needs the
             # cache-warm marker context); a string here would be silently

@@ -22,54 +22,151 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+def _score_merge(q, cand, shard_id, n_local, k, best):
+    """Score one candidate shard against the local queries and merge into
+    the running k-best. ``best`` is (scores, global_idx) or None."""
+    offset = shard_id * n_local
+    cnorm = jnp.sum(cand * cand, axis=-1)                      # (B, Nl)
+    scores = 2.0 * jnp.einsum(
+        "bqc,bnc->bqn", q, cand, preferred_element_type=jnp.float32
+    ) - cnorm[:, None, :]
+    kk = min(k, n_local)
+    s, idx = jax.lax.top_k(scores, kk)                         # local idx
+    gi = idx.astype(jnp.int32) + offset
+    if best is None:
+        best_s, best_i = s, gi
+    else:
+        all_s = jnp.concatenate([best[0], s], axis=-1)
+        all_i = jnp.concatenate([best[1], gi], axis=-1)
+        best_s, pos = jax.lax.top_k(all_s, k)
+        best_i = jnp.take_along_axis(all_i, pos, axis=-1)
+    if best_s.shape[-1] < k:  # first hops with n_local < k
+        pad = k - best_s.shape[-1]
+        best_s = jnp.pad(best_s, ((0, 0), (0, 0), (0, pad)),
+                         constant_values=-jnp.inf)
+        best_i = jnp.pad(best_i, ((0, 0), (0, 0), (0, pad)))
+    return best_s, best_i
+
+
 def ring_knn_local(
-    x_local: jax.Array, k: int, axis_name: str = "points"
+    x_local: jax.Array,
+    k: int,
+    axis_name: str = "points",
+    band_shards: int = 0,
+    certify: bool = True,
+    sorted_ok: jax.Array | None = None,
 ) -> jax.Array:
     """Per-shard body: global kNN indices for this device's query points.
 
     Must run inside ``shard_map`` with ``axis_name`` mapped. ``x_local`` is
     (B, N_local, C); returns (B, N_local, k) *global* point indices.
+
+    ``band_shards=s > 0`` visits only the 2s+1 ring-adjacent shards
+    instead of all d — O(N·band) instead of O(N²/d) per shard, the
+    sequence-parallel analogue of the banded Pallas kernels
+    (kernels/knn_pallas.py). Soundness mirrors them:
+
+    - ``certify=True`` (coordinate space): requires the GLOBAL point
+      order to be x-sorted (column 0). Each query's kth-best distance is
+      checked against the squared x-gap to the nearest UNvisited shard's
+      boundary (sound: any metric over a dim superset of x is >= the
+      x-axis distance), with a conservative f32-cancellation margin on
+      the score-derived distance. Unsorted input, boundary overlap, or
+      any failed certificate falls the WHOLE call back to the exact full
+      ring via ``lax.cond`` (uniform predicate — every device takes the
+      same branch), so the result is always exact.
+    - ``certify=False`` (learned feature space — no sound certificate
+      exists): trusts the caller-computed ``sorted_ok`` flag about the
+      underlying COORDINATES and bands without a certificate, the same
+      trained-model-evidenced class as knn_pallas_feature_banded;
+      falls back to the full ring when ``sorted_ok`` is False.
     """
     d = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
     n_local = x_local.shape[1]
     q = x_local.astype(jnp.float32)
+    perm_fwd = [(j, (j + 1) % d) for j in range(d)]
 
-    best_s = None
-    best_i = None
-    cand = q
-    perm = [(j, (j + 1) % d) for j in range(d)]
-    for step in range(d):
-        # after `step` forward rotations we hold the shard that started on
-        # device (me - step) mod d
-        shard_id = (me - step) % d
-        offset = shard_id * n_local
-        cnorm = jnp.sum(cand * cand, axis=-1)                  # (B, Nl)
-        scores = 2.0 * jnp.einsum(
-            "bqc,bnc->bqn", q, cand, preferred_element_type=jnp.float32
-        ) - cnorm[:, None, :]
-        kk = min(k, n_local)
-        s, idx = jax.lax.top_k(scores, kk)                     # local idx
-        gi = idx.astype(jnp.int32) + offset
-        if best_s is None:
-            best_s, best_i = s, gi
-        else:
-            all_s = jnp.concatenate([best_s, s], axis=-1)
-            all_i = jnp.concatenate([best_i, gi], axis=-1)
-            best_s, pos = jax.lax.top_k(all_s, k)
-            best_i = jnp.take_along_axis(all_i, pos, axis=-1)
-        if best_s.shape[-1] < k:  # first hops with n_local < k
-            pad = k - best_s.shape[-1]
-            best_s = jnp.pad(best_s, ((0, 0), (0, 0), (0, pad)),
-                             constant_values=-jnp.inf)
-            best_i = jnp.pad(best_i, ((0, 0), (0, 0), (0, pad)))
-        if step + 1 < d:
-            cand = jax.lax.ppermute(cand, axis_name, perm)
-    return best_i
+    def _full_ring(q):
+        best = None
+        cand = q
+        for step in range(d):
+            # after `step` forward rotations we hold the shard that
+            # started on device (me - step) mod d
+            best = _score_merge(q, cand, (me - step) % d, n_local, k, best)
+            if step + 1 < d:
+                cand = jax.lax.ppermute(cand, axis_name, perm_fwd)
+        return best[1]
+
+    s = band_shards
+    if s <= 0 or 2 * s + 1 >= d:
+        return _full_ring(q)
+
+    perm_rev = [((j + 1) % d, j) for j in range(d)]
+    best = _score_merge(q, q, me, n_local, k, None)
+    ca = cb = q
+    for t in range(1, s + 1):
+        ca = jax.lax.ppermute(ca, axis_name, perm_fwd)   # shard me - t
+        best = _score_merge(q, ca, (me - t) % d, n_local, k, best)
+        cb = jax.lax.ppermute(cb, axis_name, perm_rev)   # shard me + t
+        best = _score_merge(q, cb, (me + t) % d, n_local, k, best)
+    best_s, best_i = best
+
+    xs = q[..., 0]                                       # (B, Nl)
+    if certify:
+        # global sortedness: local rows sorted AND shard x-intervals
+        # monotone (gathered boundaries)
+        bmin = jnp.min(xs, axis=1)                       # (B,)
+        bmax = jnp.max(xs, axis=1)
+        bounds = jax.lax.all_gather(
+            jnp.stack([bmin, bmax]), axis_name)          # (d, 2, B)
+        gmin, gmax = bounds[:, 0], bounds[:, 1]          # (d, B)
+        local_sorted = jnp.all(xs[:, 1:] >= xs[:, :-1])
+        monotone = jnp.all(gmax[:-1] <= gmin[1:])
+        # nearest UNvisited x on each side (±inf when the band covers it)
+        li = me - s - 1
+        ri = me + s + 1
+        lb = jnp.where(li >= 0, gmax[jnp.clip(li, 0, d - 1)], -jnp.inf)
+        rb = jnp.where(ri <= d - 1, gmin[jnp.clip(ri, 0, d - 1)], jnp.inf)
+        gap = jnp.minimum(
+            jnp.maximum(xs - lb[:, None], 0.0),
+            jnp.maximum(rb[:, None] - xs, 0.0),
+        )
+        qnorm = jnp.sum(q * q, axis=-1)                  # (B, Nl)
+        dk2 = qnorm - best_s[..., -1]       # kth-best actual distance²
+        # conservative margin for the 2q·c-|c|² f32 cancellation (the
+        # kernel-side analogue is the banded Pallas kernel's one-quantum
+        # floor margin); -inf-padded scores give dk2=+inf → cert fails
+        margin = 32.0 * 1.2e-7 * (qnorm + 1.0)
+        cert = dk2 + margin < gap * gap
+        ok = local_sorted & monotone & jnp.all(cert)
+    else:
+        ok = (sorted_ok if sorted_ok is not None
+              else jnp.asarray(False))
+    # uniform across devices: every shard must be certified
+    ok = jnp.asarray(
+        jax.lax.pmin(ok.astype(jnp.int32), axis_name), jnp.bool_)
+    return jax.lax.cond(ok, lambda q: best_i, _full_ring, q)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "mesh"))
-def knn_sharded(x: jax.Array, k: int, mesh: Mesh) -> jax.Array:
+def global_sorted_x(x_local: jax.Array, axis_name: str = "points"):
+    """Traced bool (uniform across the ring): is column 0 globally
+    non-decreasing — each shard locally sorted AND the shard x-intervals
+    monotone around the ring? Used to gate the UNcertified feature-space
+    ring banding on the underlying coordinate order."""
+    xs = x_local[..., 0]
+    bounds = jax.lax.all_gather(
+        jnp.stack([jnp.min(xs, axis=1), jnp.max(xs, axis=1)]), axis_name)
+    ok = (jnp.all(xs[:, 1:] >= xs[:, :-1])
+          & jnp.all(bounds[:-1, 1] <= bounds[1:, 0]))
+    return jnp.asarray(
+        jax.lax.pmin(ok.astype(jnp.int32), axis_name), jnp.bool_)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "band_shards"))
+def knn_sharded(
+    x: jax.Array, k: int, mesh: Mesh, band_shards: int = 0
+) -> jax.Array:
     """Global exact kNN with the point axis sharded over mesh axis 'points'
     (batch over 'data'). x: (B, N, C), N divisible by the points-axis size.
 
@@ -81,7 +178,8 @@ def knn_sharded(x: jax.Array, k: int, mesh: Mesh) -> jax.Array:
     n_shards = mesh.shape["points"]
     if n % n_shards:
         raise ValueError(f"N={n} not divisible by points axis {n_shards}")
-    body = functools.partial(ring_knn_local, k=k, axis_name="points")
+    body = functools.partial(ring_knn_local, k=k, axis_name="points",
+                             band_shards=band_shards)
     spec = P("data", "points", None)
     out = jax.shard_map(
         body, mesh=mesh, in_specs=(spec,), out_specs=spec,

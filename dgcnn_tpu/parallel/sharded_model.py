@@ -41,7 +41,7 @@ from dgcnn_tpu.models.dgcnn import (
     _mm,
 )
 from dgcnn_tpu.ops.edgeconv import gather_neighbors
-from dgcnn_tpu.parallel.ring_knn import ring_knn_local
+from dgcnn_tpu.parallel.ring_knn import global_sorted_x, ring_knn_local
 
 AXIS = "points"
 _BOTH = ("data", AXIS)
@@ -73,13 +73,29 @@ def _ring_gather(feats_local: jax.Array, gidx: jax.Array) -> jax.Array:
     return acc
 
 
-def _edge_stage_sharded(x, params, state, names, cfg):
+def _ring_knn_stage(x, cfg, *, spatial, sorted_flag):
+    """Stage kNN over the ring: spatial stage 1 bands CERTIFIED
+    (cfg.ring_band_shards; exact — failed certificates fall back to the
+    full ring), feature stages 2-3 band UNcertified only when opted in
+    (cfg.ring_band_feature_shards) and the coordinates are globally
+    x-sorted (``sorted_flag``)."""
+    if spatial:
+        return ring_knn_local(x, cfg.k, AXIS,
+                              band_shards=cfg.ring_band_shards,
+                              certify=True)
+    return ring_knn_local(x, cfg.k, AXIS,
+                          band_shards=cfg.ring_band_feature_shards,
+                          certify=False, sorted_ok=sorted_flag)
+
+
+def _edge_stage_sharded(x, params, state, names, cfg, sorted_flag=None):
     """Two-conv EdgeConv stage under point sharding (eval BN)."""
     conv_a, bn_a, conv_b, bn_b = names
     w = params[conv_a]["w"]
     c = x.shape[-1]
     w_d, w_x = w[:c], w[c:]
-    idx = ring_knn_local(x, cfg.k, AXIS)
+    idx = _ring_knn_stage(x, cfg, spatial=conv_a == "conv1",
+                          sorted_flag=sorted_flag)
     a = _mm(x, w_d, cfg._cdtype)
     bvec = _mm(x, w_x - w_d, cfg._cdtype)
     e = _ring_gather(a, idx) + bvec[:, :, None, :]
@@ -90,12 +106,12 @@ def _edge_stage_sharded(x, params, state, names, cfg):
     return jnp.max(_lrelu(e), axis=2)
 
 
-def _edge_stage3_sharded(x, params, state, cfg):
+def _edge_stage3_sharded(x, params, state, cfg, sorted_flag=None):
     """Single-conv stage with the max-through-BN fold (eval)."""
     w = params["conv5"]["w"]
     c = x.shape[-1]
     w_d, w_x = w[:c], w[c:]
-    idx = ring_knn_local(x, cfg.k, AXIS)
+    idx = _ring_knn_stage(x, cfg, spatial=False, sorted_flag=sorted_flag)
     a = _mm(x, w_d, cfg._cdtype)
     bvec = _mm(x, w_x - w_d, cfg._cdtype)
     nbr = _ring_gather(a, idx)
@@ -108,13 +124,18 @@ def _edge_stage3_sharded(x, params, state, cfg):
 
 def _forward_local(params, state, x, cfg: DGCNNConfig):
     """shard_map body: x (B, N_local, F) -> logits (B, N_local, C)."""
+    sorted_flag = (global_sorted_x(x, AXIS)
+                   if cfg.ring_band_feature_shards else None)
     x1 = _edge_stage_sharded(
-        x, params, state, ("conv1", "bn1", "conv2", "bn2"), cfg
+        x, params, state, ("conv1", "bn1", "conv2", "bn2"), cfg,
+        sorted_flag=sorted_flag,
     )
     x2 = _edge_stage_sharded(
-        x1, params, state, ("conv3", "bn3", "conv4", "bn4"), cfg
+        x1, params, state, ("conv3", "bn3", "conv4", "bn4"), cfg,
+        sorted_flag=sorted_flag,
     )
-    x3 = _edge_stage3_sharded(x2, params, state, cfg)
+    x3 = _edge_stage3_sharded(x2, params, state, cfg,
+                              sorted_flag=sorted_flag)
 
     locals_ = jnp.concatenate([x1, x2, x3], axis=-1)
     emb = _mm(locals_, params["conv6"]["w"], cfg._cdtype)
@@ -170,13 +191,15 @@ def _batch_norm_train_sharded(x, p, s, *, one_pass: bool = True):
     return (x - mean) * (inv * p["gamma"]) + p["beta"], new_s
 
 
-def _edge_stage_sharded_train(x, params, state, names, cfg):
+def _edge_stage_sharded_train(x, params, state, names, cfg,
+                              sorted_flag=None):
     """Two-conv EdgeConv stage, training mode (psum'd BN stats)."""
     conv_a, bn_a, conv_b, bn_b = names
     w = params[conv_a]["w"]
     c = x.shape[-1]
     w_d, w_x = w[:c], w[c:]
-    idx = ring_knn_local(x, cfg.k, AXIS)
+    idx = _ring_knn_stage(x, cfg, spatial=conv_a == "conv1",
+                          sorted_flag=sorted_flag)
     a = _mm(x, w_d, cfg._cdtype)
     bvec = _mm(x, w_x - w_d, cfg._cdtype)
     e = _ring_gather(a, idx) + bvec[:, :, None, :]
@@ -198,19 +221,23 @@ def _forward_local_train(params, state, x, rng, cfg: DGCNNConfig):
     as) the unsharded pattern; grad-parity tests run with dropout=0.
     """
     new_state = dict(state)
+    sorted_flag = (global_sorted_x(x, AXIS)
+                   if cfg.ring_band_feature_shards else None)
     x1, upd = _edge_stage_sharded_train(
-        x, params, state, ("conv1", "bn1", "conv2", "bn2"), cfg
+        x, params, state, ("conv1", "bn1", "conv2", "bn2"), cfg,
+        sorted_flag=sorted_flag,
     )
     new_state.update(upd)
     x2, upd = _edge_stage_sharded_train(
-        x1, params, state, ("conv3", "bn3", "conv4", "bn4"), cfg
+        x1, params, state, ("conv3", "bn3", "conv4", "bn4"), cfg,
+        sorted_flag=sorted_flag,
     )
     new_state.update(upd)
     # stage 3: single conv, training BN over (B, N, k)
     w = params["conv5"]["w"]
     c = x2.shape[-1]
     w_d, w_x = w[:c], w[c:]
-    idx = ring_knn_local(x2, cfg.k, AXIS)
+    idx = _ring_knn_stage(x2, cfg, spatial=False, sorted_flag=sorted_flag)
     a = _mm(x2, w_d, cfg._cdtype)
     bvec = _mm(x2, w_x - w_d, cfg._cdtype)
     e = _ring_gather(a, idx) + bvec[:, :, None, :]

@@ -76,3 +76,94 @@ def test_ring_knn_k_exceeds_local_shard(rng):
     want = np.asarray(knn(jnp.asarray(x), 12, query_chunk=None))
     got = np.asarray(knn_sharded(jnp.asarray(x), 12, mesh))
     np.testing.assert_array_equal(np.sort(got, -1), np.sort(want, -1))
+
+
+# ------------------------------------------------------------ banded ring
+# parallel/ring_knn.py banding: spatial banding is certified per query
+# against the x-sorted shard-boundary gap and falls back to the exact
+# full ring via lax.cond — the result must be EXACT in every case.
+
+
+@needs8
+@pytest.mark.parametrize("band_shards", [1, 2])
+def test_banded_ring_sorted_exact(band_shards, rng):
+    """Dense x-sorted cloud: certificates pass, banded == exact kNN."""
+    mesh = make_mesh(n_data=2, n_points=4)
+    b, n, k = 2, 256, 7
+    x = np.stack([
+        np.stack([np.sort(rng.random(n).astype(np.float32) * 40.0),
+                  rng.random(n).astype(np.float32) * 2.0,
+                  rng.random(n).astype(np.float32) * 2.0], 1)
+        for _ in range(b)
+    ])
+    want = np.asarray(knn(jnp.asarray(x), k, query_chunk=None))
+    got = np.asarray(knn_sharded(jnp.asarray(x), k, mesh,
+                                 band_shards=band_shards))
+    np.testing.assert_array_equal(np.sort(got, -1), np.sort(want, -1))
+
+
+@needs8
+def test_banded_ring_unsorted_falls_back_exact(rng):
+    """Unsorted input: the sortedness gate fails, the full-ring fallback
+    runs, and the result is still exact."""
+    mesh = make_mesh(n_data=2, n_points=4)
+    b, n, k = 2, 128, 6
+    x = rng.integers(0, 40, (b, n, 3)).astype(np.float32)
+    x += rng.random((b, n, 3)).astype(np.float32) * 0.1
+    want = np.asarray(knn(jnp.asarray(x), k, query_chunk=None))
+    got = np.asarray(knn_sharded(jnp.asarray(x), k, mesh, band_shards=1))
+    np.testing.assert_array_equal(np.sort(got, -1), np.sort(want, -1))
+
+
+@needs8
+def test_banded_ring_cert_failure_falls_back_exact(rng):
+    """Sparse x-sorted cloud whose kNN spans more than the banded shards:
+    certificates FAIL and the fallback must keep the result exact."""
+    mesh = make_mesh(n_data=1, n_points=8)
+    b, n, k = 1, 64, 12  # 8 pts/shard, k=12 -> neighbours cross >1 shard
+    x = np.stack([np.sort(rng.random(n).astype(np.float32) * 40.0),
+                  rng.random(n).astype(np.float32) * 0.5,
+                  rng.random(n).astype(np.float32) * 0.5], 1)[None]
+    want = np.asarray(knn(jnp.asarray(x), k, query_chunk=None))
+    got = np.asarray(knn_sharded(jnp.asarray(x), k, mesh, band_shards=1))
+    np.testing.assert_array_equal(np.sort(got, -1), np.sort(want, -1))
+
+
+@needs8
+def test_banded_ring_uncertified_feature_mode(rng):
+    """certify=False (feature-space mode): bands when sorted_ok is True
+    (agreement evidence-class, not exactness) and must be EXACT via the
+    fallback when sorted_ok is False."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from dgcnn_tpu.parallel.ring_knn import ring_knn_local
+
+    mesh = make_mesh(n_data=1, n_points=8)
+    b, n, k = 1, 512, 5
+    # spatially smooth features over sorted x: in-band neighbours
+    xs = np.sort(rng.random(n).astype(np.float32) * 20.0)
+    feats = np.stack([xs,
+                      np.sin(xs).astype(np.float32),
+                      np.cos(xs).astype(np.float32)], 1)[None]
+
+    def run(sorted_ok):
+        body = functools.partial(
+            ring_knn_local, k=k, axis_name="points", band_shards=1,
+            certify=False, sorted_ok=jnp.asarray(sorted_ok))
+        spec = P(None, "points", None)
+        return np.asarray(jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        ))(jnp.asarray(feats)))
+
+    want = np.asarray(knn(jnp.asarray(feats), k, query_chunk=None))
+    got_fallback = run(False)
+    np.testing.assert_array_equal(np.sort(got_fallback, -1),
+                                  np.sort(want, -1))
+    got_banded = run(True)
+    agree = np.mean([
+        len(np.intersect1d(got_banded[0, i], want[0, i])) / k
+        for i in range(n)
+    ])
+    assert agree > 0.98, agree
