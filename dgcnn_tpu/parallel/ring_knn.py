@@ -55,7 +55,8 @@ def ring_knn_local(
     band_shards: int = 0,
     certify: bool = True,
     sorted_ok: jax.Array | None = None,
-) -> jax.Array:
+    with_flag: bool = False,
+) -> "jax.Array | tuple[jax.Array, jax.Array]":
     """Per-shard body: global kNN indices for this device's query points.
 
     Must run inside ``shard_map`` with ``axis_name`` mapped. ``x_local`` is
@@ -80,6 +81,10 @@ def ring_knn_local(
       underlying COORDINATES and bands without a certificate, the same
       trained-model-evidenced class as knn_pallas_feature_banded;
       falls back to the full ring when ``sorted_ok`` is False.
+
+    ``with_flag=True`` also returns the uniform in-band flag (True iff
+    the banded result was kept), so downstream ring gathers can take the
+    matching banded/full path.
     """
     d = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
@@ -100,7 +105,8 @@ def ring_knn_local(
 
     s = band_shards
     if s <= 0 or 2 * s + 1 >= d:
-        return _full_ring(q)
+        out = _full_ring(q)
+        return (out, jnp.asarray(False)) if with_flag else out
 
     perm_rev = [((j + 1) % d, j) for j in range(d)]
     best = _score_merge(q, q, me, n_local, k, None)
@@ -146,7 +152,8 @@ def ring_knn_local(
     # uniform across devices: every shard must be certified
     ok = jnp.asarray(
         jax.lax.pmin(ok.astype(jnp.int32), axis_name), jnp.bool_)
-    return jax.lax.cond(ok, lambda q: best_i, _full_ring, q)
+    out = jax.lax.cond(ok, lambda q: best_i, _full_ring, q)
+    return (out, ok) if with_flag else out
 
 
 def global_sorted_x(x_local: jax.Array, axis_name: str = "points"):

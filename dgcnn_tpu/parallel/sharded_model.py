@@ -47,30 +47,62 @@ AXIS = "points"
 _BOTH = ("data", AXIS)
 
 
-def _ring_gather(feats_local: jax.Array, gidx: jax.Array) -> jax.Array:
+def _ring_gather(
+    feats_local: jax.Array,
+    gidx: jax.Array,
+    band_shards: int = 0,
+    inband: jax.Array | None = None,
+) -> jax.Array:
     """Gather per-neighbour features for *global* indices under sharding.
 
     feats_local: (B, Nl, C) this shard's features.
     gidx: (B, Nl, k) global point indices (any shard).
     Returns (B, Nl, k, C).
+
+    ``band_shards=s`` with ``inband`` (the uniform flag returned by the
+    banded ring kNN) visits only the 2s+1 ring-adjacent shards when the
+    indices are known to lie in-band, falling back to the full ring
+    otherwise — the two paths are selected by the SAME flag that chose
+    the kNN path, so gathered rows are always found.
     """
     d = jax.lax.axis_size(AXIS)
     me = jax.lax.axis_index(AXIS)
     b, nl, c = feats_local.shape
     k = gidx.shape[-1]
-    acc = jnp.zeros((b, nl, k, c), feats_local.dtype)
-    cand = feats_local
-    perm = [(j, (j + 1) % d) for j in range(d)]
-    for step in range(d):
-        shard_id = (me - step) % d
+    perm_fwd = [(j, (j + 1) % d) for j in range(d)]
+
+    def merge(acc, cand, shard_id):
         local = gidx - shard_id * nl
         hit = (local >= 0) & (local < nl)
         safe = jnp.clip(local, 0, nl - 1)
         g = gather_neighbors(cand, safe)
-        acc = jnp.where(hit[..., None], g, acc)
-        if step + 1 < d:
-            cand = jax.lax.ppermute(cand, AXIS, perm)
-    return acc
+        return jnp.where(hit[..., None], g, acc)
+
+    def full(feats):
+        acc = jnp.zeros((b, nl, k, c), feats.dtype)
+        cand = feats
+        for step in range(d):
+            acc = merge(acc, cand, (me - step) % d)
+            if step + 1 < d:
+                cand = jax.lax.ppermute(cand, AXIS, perm_fwd)
+        return acc
+
+    s = band_shards
+    if s <= 0 or 2 * s + 1 >= d or inband is None:
+        return full(feats_local)
+    perm_rev = [((j + 1) % d, j) for j in range(d)]
+
+    def banded(feats):
+        acc = merge(jnp.zeros((b, nl, k, c), feats.dtype), feats, me)
+        ca = cb = feats
+        for t in range(1, s + 1):
+            ca = jax.lax.ppermute(ca, AXIS, perm_fwd)    # shard me - t
+            acc = merge(acc, ca, (me - t) % d)
+            cb = jax.lax.ppermute(cb, AXIS, perm_rev)    # shard me + t
+            acc = merge(acc, cb, (me + t) % d)
+        return acc
+
+    return jax.lax.cond(inband, banded, full, feats_local)
 
 
 def _ring_knn_stage(x, cfg, *, spatial, sorted_flag):
@@ -78,14 +110,14 @@ def _ring_knn_stage(x, cfg, *, spatial, sorted_flag):
     (cfg.ring_band_shards; exact — failed certificates fall back to the
     full ring), feature stages 2-3 band UNcertified only when opted in
     (cfg.ring_band_feature_shards) and the coordinates are globally
-    x-sorted (``sorted_flag``)."""
-    if spatial:
-        return ring_knn_local(x, cfg.k, AXIS,
-                              band_shards=cfg.ring_band_shards,
-                              certify=True)
-    return ring_knn_local(x, cfg.k, AXIS,
-                          band_shards=cfg.ring_band_feature_shards,
-                          certify=False, sorted_ok=sorted_flag)
+    x-sorted (``sorted_flag``). Returns (global idx, uniform in-band
+    flag, band_shards) — feed the latter two to :func:`_ring_gather` so
+    the gather skips the same shards the kNN did."""
+    s = cfg.ring_band_shards if spatial else cfg.ring_band_feature_shards
+    idx, inband = ring_knn_local(
+        x, cfg.k, AXIS, band_shards=s, certify=spatial,
+        sorted_ok=None if spatial else sorted_flag, with_flag=True)
+    return idx, inband, s
 
 
 def _edge_stage_sharded(x, params, state, names, cfg, sorted_flag=None):
@@ -94,11 +126,11 @@ def _edge_stage_sharded(x, params, state, names, cfg, sorted_flag=None):
     w = params[conv_a]["w"]
     c = x.shape[-1]
     w_d, w_x = w[:c], w[c:]
-    idx = _ring_knn_stage(x, cfg, spatial=conv_a == "conv1",
-                          sorted_flag=sorted_flag)
+    idx, inband, bs = _ring_knn_stage(x, cfg, spatial=conv_a == "conv1",
+                                      sorted_flag=sorted_flag)
     a = _mm(x, w_d, cfg._cdtype)
     bvec = _mm(x, w_x - w_d, cfg._cdtype)
-    e = _ring_gather(a, idx) + bvec[:, :, None, :]
+    e = _ring_gather(a, idx, bs, inband) + bvec[:, :, None, :]
     e, _ = _batch_norm(e, params[bn_a], state[bn_a], train=False)
     e = _lrelu(e)
     e = _mm(e, params[conv_b]["w"], cfg._cdtype)
@@ -111,10 +143,11 @@ def _edge_stage3_sharded(x, params, state, cfg, sorted_flag=None):
     w = params["conv5"]["w"]
     c = x.shape[-1]
     w_d, w_x = w[:c], w[c:]
-    idx = _ring_knn_stage(x, cfg, spatial=False, sorted_flag=sorted_flag)
+    idx, inband, bs = _ring_knn_stage(x, cfg, spatial=False,
+                                      sorted_flag=sorted_flag)
     a = _mm(x, w_d, cfg._cdtype)
     bvec = _mm(x, w_x - w_d, cfg._cdtype)
-    nbr = _ring_gather(a, idx)
+    nbr = _ring_gather(a, idx, bs, inband)
     mx = jnp.max(nbr, axis=2) + bvec
     mn = jnp.min(nbr, axis=2) + bvec
     sel = jnp.where(params["bn5"]["gamma"] >= 0, mx, mn)
@@ -198,11 +231,11 @@ def _edge_stage_sharded_train(x, params, state, names, cfg,
     w = params[conv_a]["w"]
     c = x.shape[-1]
     w_d, w_x = w[:c], w[c:]
-    idx = _ring_knn_stage(x, cfg, spatial=conv_a == "conv1",
-                          sorted_flag=sorted_flag)
+    idx, inband, bs = _ring_knn_stage(x, cfg, spatial=conv_a == "conv1",
+                                      sorted_flag=sorted_flag)
     a = _mm(x, w_d, cfg._cdtype)
     bvec = _mm(x, w_x - w_d, cfg._cdtype)
-    e = _ring_gather(a, idx) + bvec[:, :, None, :]
+    e = _ring_gather(a, idx, bs, inband) + bvec[:, :, None, :]
     op = cfg.bn_stats == "one_pass"
     e, s_a = _batch_norm_train_sharded(e, params[bn_a], state[bn_a],
                                        one_pass=op)
@@ -237,10 +270,11 @@ def _forward_local_train(params, state, x, rng, cfg: DGCNNConfig):
     w = params["conv5"]["w"]
     c = x2.shape[-1]
     w_d, w_x = w[:c], w[c:]
-    idx = _ring_knn_stage(x2, cfg, spatial=False, sorted_flag=sorted_flag)
+    idx, inband, bs = _ring_knn_stage(x2, cfg, spatial=False,
+                                      sorted_flag=sorted_flag)
     a = _mm(x2, w_d, cfg._cdtype)
     bvec = _mm(x2, w_x - w_d, cfg._cdtype)
-    e = _ring_gather(a, idx) + bvec[:, :, None, :]
+    e = _ring_gather(a, idx, bs, inband) + bvec[:, :, None, :]
     op = cfg.bn_stats == "one_pass"
     e, s5 = _batch_norm_train_sharded(e, params["bn5"], state["bn5"],
                                       one_pass=op)
