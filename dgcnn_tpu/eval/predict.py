@@ -117,6 +117,7 @@ def predict(
     seed: int = 0,
     classify_all: bool = False,
     point_shards: int = 1,
+    ring_band_shards: int | None = None,
     preloaded: "tuple[np.ndarray, np.ndarray] | None" = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Classify a LAS/HDF5 point cloud end to end.
@@ -148,6 +149,8 @@ def predict(
         **({} if knn_band is None else {"knn_band": knn_band}),
         **({} if knn_band_feature is None
            else {"knn_band_feature": knn_band_feature}),
+        **({} if ring_band_shards is None
+           else {"ring_band_shards": ring_band_shards}),
     )
     params, bn_state = _restore(cfg, model_root, model_label, io)
     predict_step = make_predict_step(

@@ -104,6 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "learned features; uncertified, trained-model "
                         "evidenced — kernels/knn_pallas.py). Unset = the "
                         "DGCNNConfig default; 0 disables")
+    p.add_argument("--ring_band_shards", type=int, default=None,
+                   help="banded ring kNN for --point_shards: visit only "
+                        "the 2s+1 ring-adjacent shards, certified exact "
+                        "with full-ring fallback (parallel/ring_knn.py). "
+                        "Unset = the DGCNNConfig default (1); 0 disables")
     p.add_argument("--compute_dtype", type=str, default=None)
     p.add_argument("--matmul_precision", type=str, default=None,
                    choices=[None, "default", "high", "highest"],
@@ -234,6 +239,7 @@ def main(argv=None):
                 matmul_precision=args.matmul_precision,
                 classify_all=args.classify_all,
                 point_shards=args.point_shards,
+                ring_band_shards=args.ring_band_shards,
             )
             if os.path.isdir(args.predict):
                 # directory mode: classify every .las/.h5, mirrored names
