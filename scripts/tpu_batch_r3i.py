@@ -72,19 +72,20 @@ def main():
 
         return importlib.import_module(f"scripts.{name}").main
 
-    run_stage("exp_scatter_unroll", _mod("exp_scatter_unroll"))
-    run_stage("exp_fb_qt", _mod("exp_fb_qt"))
-    run_stage("exp_stage_tiles_fb", _mod("exp_stage_tiles_fb"))
-
     def bench_run():
         sys.argv = ["bench.py"]
         import bench
 
         bench.main()
 
+    # round-critical artifacts FIRST (the chip may not stay up): bench
+    # evidence + the 30-epoch all-new-defaults soak, then tuning sweeps
     run_stage("bench", bench_run)
     run_stage("soak: full_pipeline_tpu (30 epochs, all-new defaults)",
               _mod("full_pipeline_tpu"))
+    run_stage("exp_scatter_unroll", _mod("exp_scatter_unroll"))
+    run_stage("exp_fb_qt", _mod("exp_fb_qt"))
+    run_stage("exp_stage_tiles_fb", _mod("exp_stage_tiles_fb"))
     banner("DONE")
 
 
