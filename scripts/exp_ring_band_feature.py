@@ -46,7 +46,7 @@ def main():
 
     root = os.path.abspath("full_pipeline_run")
     npy = sorted(glob.glob(os.path.join(root, "npy", "*.npy")))
-    if not npy or not os.path.isdir(os.path.join(root, "ckpt")):
+    if not npy or not os.path.isdir(os.path.join(root, os.environ.get("DGCNN_RING_FB_CKPT", "ckpt"))):
         log("soak artifacts missing (run scripts/full_pipeline_tpu.py)")
         sys.exit(1)
 
@@ -64,8 +64,8 @@ def main():
     io = IOStream(os.devnull)
     base = DGCNNConfig(num_classes=3, num_features=4, k=30, emb_dims=1024,
                        knn_impl="xla", ring_band_shards=1)
-    params, bn = _restore(base, os.path.join(root, "ckpt"),
-                          "dgcnn_model", io)
+    params, bn = _restore(base, os.path.join(root, os.environ.get("DGCNN_RING_FB_CKPT", "ckpt")),
+                          os.environ.get("DGCNN_RING_FB_LABEL", "dgcnn_model"), io)
     mesh = make_mesh(n_data=1, n_points=d)
 
     for ri, room in enumerate(rooms):
