@@ -15,7 +15,6 @@ CPU mesh (the ring path is backend-agnostic; eval only, N=8x2048).
     python scripts/exp_ring_band_feature.py > /tmp/exp_ring_fb.log 2>&1
 """
 
-import glob
 import os
 import sys
 
@@ -45,21 +44,30 @@ def main():
         sys.exit(1)
 
     root = os.path.abspath("full_pipeline_run")
-    npy = sorted(glob.glob(os.path.join(root, "npy", "*.npy")))
-    if not npy or not os.path.isdir(os.path.join(root, os.environ.get("DGCNN_RING_FB_CKPT", "ckpt"))):
+    raw = os.path.join(root, "raw", "tile.las")
+    if (not os.path.exists(raw)
+            or not os.path.isdir(
+                os.path.join(root,
+                             os.environ.get("DGCNN_RING_FB_CKPT", "ckpt")))):
         log("soak artifacts missing (run scripts/full_pipeline_tpu.py)")
         sys.exit(1)
 
     d = 8
     n = d * 2048
-    rooms = []
-    for p in npy:
-        r = np.load(p)
-        if len(r) >= n:
-            rooms.append(r)
-        if len(rooms) == 3:
-            break
-    log(f"{len(rooms)} rooms with >= {n} points")
+    # real whole-cloud prep (the --point_shards path): load + noise filter
+    # (fused native loader), DTM -> AGL, then 3 contiguous x-windows of
+    # the x-sorted scene as study clouds
+    from dgcnn_tpu.eval.predict import predict_load
+    from dgcnn_tpu.prepare.dtm import build_dtm, gen_agl
+
+    data, _ = predict_load(raw)
+    dtm = build_dtm(data[:, :3])
+    data[:, 3] = gen_agl(dtm, data[:, :3])
+    data = data[np.argsort(data[:, 0], kind="stable")]
+    m = len(data)
+    rooms = [data[int(f * (m - n)):int(f * (m - n)) + n]
+             for f in (0.2, 0.5, 0.8)]
+    log(f"{len(rooms)} x-windows of {n} points from {m}-pt scene")
 
     io = IOStream(os.devnull)
     base = DGCNNConfig(num_classes=3, num_features=4, k=30, emb_dims=1024,
