@@ -331,3 +331,40 @@ def test_fused_load_matches_fallback_modern(tmp_path, rng, fmt, extra,
     assert len(data_f) + dropped == n
     np.testing.assert_array_equal(data_f, data_b)
     np.testing.assert_array_equal(labels_f, labels_b)
+
+
+@pytest.mark.skipif(not NATIVE_LAS, reason="no C++ toolchain for libdtmgen")
+def test_fused_load_native_error_paths(rng):
+    """dtmgen_las_load returns -1 (never writes) on bad inputs: unknown
+    format id, rgb extra requested from an rgb-less format, out-of-range
+    columns."""
+    import ctypes
+
+    from dgcnn_tpu.prepare.dtm import _native_lib
+
+    lib = _native_lib()
+    n, rl = 4, 20
+    buf = bytes(n * rl)
+    bufp = ctypes.cast(ctypes.c_char_p(buf),
+                       ctypes.POINTER(ctypes.c_uint8))
+    data = np.zeros((n, 4))
+    labels = np.zeros(n, np.int64)
+    dp = data.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    lp = labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    no_extra = np.zeros(0, np.int32)
+    ep = no_extra.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    def call(fmt=0, extra=None, cols=(0, 1, 2), width=4):
+        e = (np.asarray(extra, np.int32) if extra is not None
+             else no_extra)
+        return lib.dtmgen_las_load(
+            bufp, n, rl, fmt, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0,
+            width, cols[0], cols[1], cols[2],
+            e.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(e) // 2, dp, lp)
+
+    assert call(fmt=5) == -1                       # unsupported format
+    assert call(extra=[3, 3]) == -1                # rgb from rgb-less fmt 0
+    assert call(extra=[0, 9]) == -1                # extra col out of range
+    assert call(cols=(0, 1, 7)) == -1              # xyz col out of range
+    assert call() == n                             # sanity: valid call
