@@ -166,7 +166,7 @@ def load_las_matrix(
     (native/dtmgen/dtmgen.cpp::dtmgen_las_load) — two parallel passes over
     the record buffer, no intermediate per-field arrays, no Python-side
     boolean compaction. Byte-equal to the loaders.py fallback chain
-    (tests/test_loaders.py). ``features``/``features_output`` must be
+    (tests/test_las_io.py). ``features``/``features_output`` must be
     lower-cased (loaders.load_pointcloud normalises them).
 
     Returns ``(data (n_kept, width) float64, labels (n_kept,) int64,

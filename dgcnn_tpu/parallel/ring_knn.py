@@ -109,27 +109,43 @@ def ring_knn_local(
         return (out, jnp.asarray(False)) if with_flag else out
 
     perm_rev = [((j + 1) % d, j) for j in range(d)]
-    best = _score_merge(q, q, me, n_local, k, None)
-    ca = cb = q
-    for t in range(1, s + 1):
-        ca = jax.lax.ppermute(ca, axis_name, perm_fwd)   # shard me - t
-        best = _score_merge(q, ca, (me - t) % d, n_local, k, best)
-        cb = jax.lax.ppermute(cb, axis_name, perm_rev)   # shard me + t
-        best = _score_merge(q, cb, (me + t) % d, n_local, k, best)
-    best_s, best_i = best
-
     xs = q[..., 0]                                       # (B, Nl)
+
+    # sortedness pre-gate (uniform): unsorted input skips the banded
+    # scoring entirely instead of paying banded + fallback every call
     if certify:
-        # global sortedness: local rows sorted AND shard x-intervals
-        # monotone (gathered boundaries)
         bmin = jnp.min(xs, axis=1)                       # (B,)
         bmax = jnp.max(xs, axis=1)
         bounds = jax.lax.all_gather(
             jnp.stack([bmin, bmax]), axis_name)          # (d, 2, B)
         gmin, gmax = bounds[:, 0], bounds[:, 1]          # (d, B)
-        local_sorted = jnp.all(xs[:, 1:] >= xs[:, :-1])
-        monotone = jnp.all(gmax[:-1] <= gmin[1:])
-        # nearest UNvisited x on each side (±inf when the band covers it)
+        gate = (jnp.all(xs[:, 1:] >= xs[:, :-1])
+                & jnp.all(gmax[:-1] <= gmin[1:]))
+    else:
+        gate = (sorted_ok if sorted_ok is not None
+                else jnp.asarray(False))
+    gate = jnp.asarray(
+        jax.lax.pmin(gate.astype(jnp.int32), axis_name), jnp.bool_)
+
+    def _banded(q):
+        best = _score_merge(q, q, me, n_local, k, None)
+        ca = cb = q
+        for t in range(1, s + 1):
+            ca = jax.lax.ppermute(ca, axis_name, perm_fwd)  # shard me - t
+            best = _score_merge(q, ca, (me - t) % d, n_local, k, best)
+            cb = jax.lax.ppermute(cb, axis_name, perm_rev)  # shard me + t
+            best = _score_merge(q, cb, (me + t) % d, n_local, k, best)
+        best_s, best_i = best
+        if not certify:
+            # flag derived from q through the same pmin chain as the
+            # certified branch / _full_flagged so every cond pairing
+            # carries the same varying-manual-axes type (always True)
+            return best_i, jnp.asarray(
+                jax.lax.pmin(
+                    (jnp.nan_to_num(q[0, 0, 0]) == jnp.nan_to_num(q[0, 0, 0])).astype(jnp.int32),
+                    axis_name), jnp.bool_)
+        # per-query certificate against the nearest UNvisited x on each
+        # side (±inf when the band covers that side)
         li = me - s - 1
         ri = me + s + 1
         lb = jnp.where(li >= 0, gmax[jnp.clip(li, 0, d - 1)], -jnp.inf)
@@ -142,17 +158,27 @@ def ring_knn_local(
         dk2 = qnorm - best_s[..., -1]       # kth-best actual distance²
         # conservative margin for the 2q·c-|c|² f32 cancellation (the
         # kernel-side analogue is the banded Pallas kernel's one-quantum
-        # floor margin); -inf-padded scores give dk2=+inf → cert fails
-        margin = 32.0 * 1.2e-7 * (qnorm + 1.0)
+        # floor margin): the score's rounding error scales with the
+        # CANDIDATE magnitude too, so include the score term, not just
+        # qnorm; -inf-padded scores give dk2=+inf → cert fails
+        margin = 32.0 * 1.2e-7 * (
+            qnorm + jnp.abs(best_s[..., -1]) + 1.0)
         cert = dk2 + margin < gap * gap
-        ok = local_sorted & monotone & jnp.all(cert)
-    else:
-        ok = (sorted_ok if sorted_ok is not None
-              else jnp.asarray(False))
-    # uniform across devices: every shard must be certified
-    ok = jnp.asarray(
-        jax.lax.pmin(ok.astype(jnp.int32), axis_name), jnp.bool_)
-    out = jax.lax.cond(ok, lambda q: best_i, _full_ring, q)
+        ok = jnp.asarray(
+            jax.lax.pmin(jnp.all(cert).astype(jnp.int32), axis_name),
+            jnp.bool_)
+        return jax.lax.cond(ok, lambda q: best_i, _full_ring, q), ok
+
+    def _full_flagged(q):
+        # flag derived from q through the same pmin chain as the banded
+        # branch's certificate flag, so both cond branches carry the
+        # same varying-manual-axes type (always False)
+        f = jnp.asarray(
+            jax.lax.pmin((jnp.nan_to_num(q[0, 0, 0]) != jnp.nan_to_num(q[0, 0, 0])).astype(jnp.int32),
+                         axis_name), jnp.bool_)
+        return _full_ring(q), f
+
+    out, ok = jax.lax.cond(gate, _banded, _full_flagged, q)
     return (out, ok) if with_flag else out
 
 

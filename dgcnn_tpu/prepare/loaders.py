@@ -47,7 +47,7 @@ def load_pointcloud(
     if ext == "las":
         # fused native fast path: decode + noise filter + compacted
         # matrix assembly in one libdtmgen call (byte-equal to the chain
-        # below — tests/test_loaders.py); None → fall through
+        # below — tests/test_las_io.py); None → fall through
         from dgcnn_tpu.io.las import load_las_matrix
 
         fused = load_las_matrix(

@@ -68,9 +68,14 @@ def main():
     run_stage("entry check", entry_check)
 
     def _mod(name):
-        import importlib
+        # thunk: the import itself must happen INSIDE run_stage's
+        # try/except so an import-time crash doesn't abort the batch
+        def thunk():
+            import importlib
 
-        return importlib.import_module(f"scripts.{name}").main
+            importlib.import_module(f"scripts.{name}").main()
+
+        return thunk
 
     def bench_run():
         sys.argv = ["bench.py"]

@@ -167,3 +167,38 @@ def test_banded_ring_uncertified_feature_mode(rng):
         for i in range(n)
     ])
     assert agree > 0.98, agree
+
+
+@needs8
+def test_banded_ring_uncertified_2d_mesh(rng):
+    """certify=False on a ('data','points') 2-D mesh: the in-band flag is
+    data-varying (per batch shard) — both cond branches must carry the
+    same varying-manual-axes type (regression: unvarying True vs
+    data-varying False crashed tracing)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from dgcnn_tpu.parallel.ring_knn import ring_knn_local
+
+    mesh = make_mesh(n_data=2, n_points=4)
+    b, n, k = 2, 256, 5
+    xs = np.stack([np.sort(rng.random(n).astype(np.float32) * 20.0)
+                   for _ in range(b)])
+    feats = np.stack([xs, np.sin(xs), np.cos(xs)], -1).astype(np.float32)
+
+    def run(sorted_ok):
+        body = functools.partial(
+            ring_knn_local, k=k, axis_name="points", band_shards=1,
+            certify=False, sorted_ok=jnp.asarray(sorted_ok))
+        spec = P("data", "points", None)
+        return np.asarray(jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        ))(jnp.asarray(feats)))
+
+    want = np.asarray(knn(jnp.asarray(feats), k, query_chunk=None))
+    got_fallback = run(False)         # exact via full ring
+    np.testing.assert_array_equal(np.sort(got_fallback, -1),
+                                  np.sort(want, -1))
+    got_banded = run(True)            # banded traces + runs on the 2-D mesh
+    assert got_banded.shape == want.shape
