@@ -125,3 +125,67 @@ def test_sharded_train_step_dropout_runs(rng):
         state, x, labels, mask)
     assert np.isfinite(float(m["loss"]))
     assert int(new_state.step) == 1
+
+
+@needs8
+def test_sharded_train_banded_branch_engages_and_matches(rng):
+    """Dense x-sorted cloud: the stage-1 banded ring CERTIFIES (asserted
+    via the in-band flag), so the banded kNN + banded gather branches run
+    in forward AND backward (lax.cond VJP) — and the train step still
+    matches the unsharded one at <=1e-5 (exactness through the banded
+    path)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from dgcnn_tpu.parallel.ring_knn import ring_knn_local
+    from dgcnn_tpu.parallel.sharded_model import make_sharded_train_step
+    from dgcnn_tpu.train.steps import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = DGCNNConfig(num_classes=4, num_features=3, k=6, emb_dims=32,
+                      dropout=0.0, knn_query_chunk=None)
+    assert cfg.ring_band_shards == 1  # the default under test
+    mesh = make_mesh(n_data=2, n_points=4)
+    b, n = 2, 1024
+    # dense sorted x, tiny y/z: kNN radius << shard width -> cert passes
+    x = np.stack([
+        np.stack([np.sort(rng.random(n).astype(np.float32) * 40.0),
+                  rng.random(n).astype(np.float32) * 0.3,
+                  rng.random(n).astype(np.float32) * 0.3], 1)
+        for _ in range(b)
+    ])
+    x = jnp.asarray(x)
+    labels = jnp.asarray(rng.integers(0, 4, (b, n)))
+    mask = jnp.ones((b, n), jnp.float32)
+
+    # the banded branch must actually engage on this data
+    def body(xl):
+        idx, flag = ring_knn_local(xl, cfg.k, "points", band_shards=1,
+                                   with_flag=True)
+        return idx, flag.reshape(1)
+
+    spec = P("data", "points", None)
+    _, flag = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(spec,),
+        out_specs=(spec, P("data")),
+    ))(x)
+    assert bool(np.asarray(flag).all()), "certificate unexpectedly failed"
+
+    tx = make_optimizer(use_sgd=True, lr=1e-5, epochs=2, steps_per_epoch=1)
+    state = init_train_state(jax.random.key(0), cfg, tx)
+    ref_state, ref_m = make_train_step(cfg, tx, donate=False)(
+        state, x, labels, mask)
+    sh_state, sh_m = make_sharded_train_step(cfg, tx, mesh)(
+        state, x, labels, mask)
+    assert float(sh_m["loss"]) == pytest.approx(float(ref_m["loss"]),
+                                                rel=1e-5)
+    for name in ("params", "bn_state"):
+        a = jax.tree_util.tree_leaves(getattr(ref_state, name))
+        c = jax.tree_util.tree_leaves(getattr(sh_state, name))
+        for xa, xc in zip(a, c):
+            np.testing.assert_allclose(np.asarray(xa), np.asarray(xc),
+                                       atol=1e-5, rtol=1e-4)
