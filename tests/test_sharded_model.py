@@ -134,7 +134,6 @@ def test_sharded_train_banded_branch_engages_and_matches(rng):
     in forward AND backward (lax.cond VJP) — and the train step still
     matches the unsharded one at <=1e-5 (exactness through the banded
     path)."""
-    import functools
 
     from jax.sharding import PartitionSpec as P
 
