@@ -125,3 +125,18 @@ def test_compilation_cache_enable_and_disable(tmp_path, monkeypatch):
 
     monkeypatch.setenv("DGCNN_JAX_CACHE_DIR", "")
     assert enable_persistent_compilation_cache(str(target)) is None
+
+
+def test_env_report_collects():
+    """collect_env-style report: versions, native entry points, cache
+    state, kernel-selecting config defaults — and valid JSON via main."""
+    import json
+
+    from dgcnn_tpu.utils.report import collect_report, main
+
+    rep = collect_report(probe_device=True)
+    assert rep["jax"] and rep["python"]
+    assert "native_dtmgen" in rep and "config_defaults" in rep
+    assert rep["config_defaults"]["knn_band"] >= 0
+    assert json.loads(json.dumps(rep, default=str))
+    assert main(["--no-device"]) == 0
