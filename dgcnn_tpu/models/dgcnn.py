@@ -484,14 +484,31 @@ def _edge_stage_single_conv(
     cd = cfg._cdtype
     idx = _knn(x, cfg, train=train, sorted_ok=sorted_ok)
     if train:
-        e = edge_conv_linear(x, idx, params["conv5"]["w"], compute_dtype=cd)
         if cfg.stage_tail_fused and cfg.bn_stats == "one_pass":
-            mx, bmean, bvar = bn_lrelu_max_train(
-                e, params["bn5"]["gamma"], params["bn5"]["beta"]
+            # decomposed form of edge_conv_linear (same einsums, bit-
+            # identical forward) so the fused tail's backward can compute
+            # the scatter cotangent from q-indexed tables in-kernel and
+            # drop the (B,N,k,64) residual (ops/edgeconv.py::
+            # edge_stage_tail_train)
+            from dgcnn_tpu.ops.edgeconv import edge_stage_tail_train
+
+            w = params["conv5"]["w"]
+            c_in = x.shape[-1]
+            w_d, w_x = w[:c_in], w[c_in:]
+            xm = x if cd is None else x.astype(cd)
+            w_dm = w_d if cd is None else w_d.astype(cd)
+            w_cm = (w_x - w_d) if cd is None else (w_x - w_d).astype(cd)
+            a = jnp.einsum("bnc,cd->bnd", xm, w_dm,
+                           preferred_element_type=jnp.float32)
+            bvec = jnp.einsum("bnc,cd->bnd", xm, w_cm,
+                              preferred_element_type=jnp.float32)
+            mx, bmean, bvar = edge_stage_tail_train(
+                a, bvec, idx, params["bn5"]["gamma"], params["bn5"]["beta"]
             )
             s5 = _bn_running_update(state["bn5"], bmean, bvar,
-                                    e.size // e.shape[-1])
+                                    mx.size // mx.shape[-1] * cfg.k)
             return checkpoint_name(mx, "pt"), {"bn5": s5}
+        e = edge_conv_linear(x, idx, params["conv5"]["w"], compute_dtype=cd)
         e, s5 = _batch_norm(e, params["bn5"], state["bn5"], train=True,
                             one_pass=cfg.bn_stats == "one_pass")
         return checkpoint_name(max_over_k(_lrelu(e)), "pt"), {"bn5": s5}

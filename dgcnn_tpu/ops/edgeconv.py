@@ -72,7 +72,17 @@ def _gather_fwd(feats, idx):
 def _gather_bwd(res, dy):
     idx, token = res
     b, n, _ = token.shape
-    dtype = token.dtype
+    return scatter_rows_auto(dy, idx, n, token.dtype), None
+
+
+def scatter_rows_auto(dy, idx, n, dtype):
+    """Backend-dispatched row scatter-add: ``out[b, idx[b,q,j]] +=
+    dy[b,q,j]`` — the Pallas VMEM-accumulator kernel on TPU f32, XLA's
+    scatter elsewhere. Shared by the gather VJP and the fused stage
+    tails' reference backward path."""
+    import os
+
+    b = dy.shape[0]
     c = dy.shape[-1]
     k = idx.shape[-1]
     acc_bytes = (n + 8) * c * 4
@@ -80,11 +90,10 @@ def _gather_bwd(res, dy):
         jax.default_backend() == "tpu"
         and dtype == jnp.float32
         and acc_bytes <= 8 * 2**20  # accumulator must fit VMEM
+        and os.environ.get("DGCNN_SCATTER_IMPL", "pallas") == "pallas"
     )
     if use_pallas:
         from dgcnn_tpu.kernels.scatter_pallas import scatter_add_rows
-
-        import os
 
         # rotate rows over as many accumulator copies as fit a ~16 MiB
         # VMEM budget (breaks the serial RMW chain: 8 copies measured the
@@ -102,8 +111,11 @@ def _gather_bwd(res, dy):
         while copies > 1 and copies * acc_bytes > acc_mb * 2**20:
             copies //= 2
         # rows per copy per loop step (kernel bookkeeping amortisation;
-        # hazard distance unchanged) — same power-of-two sanitisation
-        unroll = max(int(os.environ.get("DGCNN_SCATTER_UNROLL", 1)), 1)
+        # hazard distance unchanged) — same power-of-two sanitisation.
+        # Default 4: in-step sweep measured 77.0 -> 74.4 ms at copies=8/
+        # unroll=4 (copies=16 no better, 32 fails to compile;
+        # scripts/exp_scatter_unroll.py, v5e)
+        unroll = max(int(os.environ.get("DGCNN_SCATTER_UNROLL", 4)), 1)
         unroll = 1 << (unroll.bit_length() - 1)
         while unroll > 1 and chunk % (copies * unroll):
             unroll //= 2
@@ -117,7 +129,7 @@ def _gather_bwd(res, dy):
         da = table.at[gidx.reshape(-1)].add(
             dy.reshape(-1, c).astype(dtype)
         ).reshape(b, n, c)
-    return da.astype(dtype), None
+    return da.astype(dtype)
 
 
 gather_neighbors.defvjp(_gather_fwd, _gather_bwd)
@@ -301,6 +313,136 @@ def _bn_lrelu_max_bwd(res, cot):
 
 
 _bn_lrelu_max.defvjp(_bn_lrelu_max_fwd, _bn_lrelu_max_bwd)
+
+
+def edge_stage_tail_train(
+    a: jax.Array,
+    bvec: jax.Array,
+    idx: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused single-conv EdgeConv stage tail (training):
+    ``max_k(lrelu(BN_train(gather(a, idx) + bvec)))``.
+
+    Forward is bit-identical to ``gather_neighbors`` + broadcast-add +
+    :func:`bn_lrelu_max_train` (same op order); the win is the BACKWARD:
+    because the stage's pre-BN tensor is ``e[q, j] = a[idx[q, j]] +
+    bvec[q]``, the BN+LReLU+max cotangent decomposes into q-indexed
+    tables plus a count-factorised a-term —
+
+        de[q,j] = u[q] * 1{am[q] == j} + w[q] + corr[a[idx[q,j]]]
+
+    (u = gamma*inv*gp from the max routing, w the per-query dense BN
+    correction, corr linear in the TARGET row) — so the backward scatter
+    runs as :func:`dgcnn_tpu.kernels.scatter_pallas.scatter_stage_tail_rows`
+    with the (B, N, k, C) cotangent never materialised in HBM, the hit
+    COUNT accumulated in a reserved lane of the same RMW, and ``e``
+    dropped from the residuals (the only (B, N, k, C) residual of the
+    stock pair). ``sum_j de`` (the bvec cotangent) comes from the
+    forward's extra per-query sum ``S_e`` — one more accumulator fused
+    into the existing BN-stat sweep.
+
+    Returns ``(max_out, batch_mean, batch_var_biased)`` like
+    :func:`bn_lrelu_max_train`. Torch-parity notes there apply, except
+    xhat is recovered from ``a``/``bvec`` directly, so the gamma==0
+    caveat affects only dgamma (kept 0 for parity), not ``de``.
+    Reference stage: /root/reference/model.py:161-163 (conv5 + max).
+    """
+    return _edge_stage_tail(a, bvec, idx, gamma, beta)
+
+
+@jax.custom_vjp
+def _edge_stage_tail(a, bvec, idx, gamma, beta):
+    out, _ = _edge_stage_tail_fwd(a, bvec, idx, gamma, beta)
+    return out
+
+
+def _edge_stage_tail_fwd(a, bvec, idx, gamma, beta):
+    eps = 1e-5
+    slope = 0.2
+    e = _gather_impl(a, idx) + bvec[:, :, None, :]
+    axes = tuple(range(e.ndim - 1))
+    mean = jnp.mean(e, axis=axes)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(e), axis=axes) - jnp.square(mean), 0.0
+    )
+    inv = jax.lax.rsqrt(var + eps)
+    y = (e - mean) * (inv * gamma) + beta
+    z = jnp.where(y >= 0, y, slope * y)
+    mx = jnp.max(z, axis=2)
+    am = jnp.argmax(z, axis=2)          # first-max (lrelu is monotone)
+    se = jnp.sum(e, axis=2)             # (B, N, C): the bvec-cot sweep
+    k = e.shape[2]
+    am_dtype = jnp.int8 if k <= 127 else jnp.int32
+    res = (a, bvec, idx, gamma, beta, mean, inv, am.astype(am_dtype),
+           mx, se)
+    return (mx, mean, var), res
+
+
+def _edge_stage_tail_bwd(res, cot):
+    import os
+
+    g = cot[0]                          # mean/var outputs carry no loss
+    a, bvec, idx, gamma, beta, mean, inv, am, mx, se = res
+    slope = 0.2
+    b, n, c = a.shape
+    k = idx.shape[-1]
+    m_count = b * n * k
+    gp = jnp.where(mx >= 0, g, slope * g)                  # (B, N, C)
+    ystar = jnp.where(mx >= 0, mx, mx / slope)
+    safe = jnp.abs(gamma) > 0
+    xstar = jnp.where(
+        safe, (ystar - beta) / jnp.where(safe, gamma, 1.0), 0.0
+    )
+    s1 = jnp.sum(gp, axis=(0, 1))
+    s2 = jnp.sum(gp * xstar, axis=(0, 1))
+    gi = gamma * inv
+    u = gi * gp                                            # (B, N, C)
+    w = -(gi / m_count) * (s1 + (bvec - mean) * inv * s2)  # (B, N, C)
+    corr = -(gi * s2 * inv / m_count) * a                  # (B, N, C)
+    backend = jax.default_backend()
+    impl = os.environ.get(
+        "DGCNN_STAGE_TAIL_SCATTER",
+        "kernel" if backend == "tpu" and a.dtype == jnp.float32
+        else "xla",
+    )
+    if impl in ("kernel", "interpret"):
+        from dgcnn_tpu.kernels.scatter_pallas import scatter_stage_tail_rows
+
+        l_pad = -(-(c + 1) // 128) * 128
+        zpad = jnp.zeros((b, n, l_pad - c), u.dtype)
+        u_p = jnp.concatenate([u, zpad], -1)
+        w_p = jnp.concatenate(
+            [w, jnp.ones((b, n, 1), w.dtype),
+             jnp.zeros((b, n, l_pad - c - 1), w.dtype)], -1)
+        am_p = jnp.concatenate(
+            [am.astype(jnp.int32),
+             jnp.full((b, n, l_pad - c), -1, jnp.int32)], -1)
+        copies = max(int(os.environ.get("DGCNN_SCATTER_COPIES", 8)), 1)
+        scat = scatter_stage_tail_rows(
+            u_p, w_p, am_p, idx, k=k, n=n, copies=copies,
+            interpret=impl == "interpret",
+        )
+        count = scat[..., c]
+        da = scat[..., :c] + count[..., None] * corr
+    else:
+        # reference path (CPU / non-f32 / A-B baseline): materialise de
+        # and run the stock scatter (Pallas scatter_add_rows on TPU f32)
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k, 1), 2)
+        mask = k_iota == am[:, :, None, :].astype(jnp.int32)
+        de = (
+            jnp.where(mask, u[:, :, None, :], 0.0)
+            + w[:, :, None, :]
+            + _gather_impl(corr, idx)
+        )
+        da = scatter_rows_auto(de, idx, n, a.dtype)
+    d_bvec = gi * (gp - (k * s1 + (se - k * mean) * inv * s2)
+                   * (1.0 / m_count))
+    return da, d_bvec, None, s2, s1
+
+
+_edge_stage_tail.defvjp(_edge_stage_tail_fwd, _edge_stage_tail_bwd)
 
 
 def bn_lrelu_train(
