@@ -138,3 +138,38 @@ def test_gamma_zero_channel_de_exact():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(gf_g), np.asarray(gs_g),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_full_train_step_kernel_backward(monkeypatch):
+    """The in-kernel-cotangent backward (interpret mode) through the FULL
+    model train step: loss identical and parameter updates equal to the
+    XLA stage-tail backward within f32 sum-order tolerance."""
+    from dgcnn_tpu.models.dgcnn import DGCNNConfig
+    from dgcnn_tpu.train.steps import (
+        init_train_state, make_optimizer, make_train_step,
+    )
+
+    rng = np.random.default_rng(11)
+    base = dict(num_classes=4, num_features=3, k=6, emb_dims=32,
+                dropout=0.0, knn_query_chunk=None)
+    pts = jnp.asarray(rng.normal(size=(2, 40, 3)).astype("float32"))
+    labels = jnp.asarray(rng.integers(0, 4, (2, 40)).astype("int32"))
+    mask = jnp.ones((2, 40), jnp.float32)
+
+    outs = {}
+    for i, impl in enumerate(("interpret", "xla")):
+        monkeypatch.setenv("DGCNN_STAGE_TAIL_SCATTER", impl)
+        # knn_query_chunk nudge -> fresh trace so the env var is re-read
+        cfg = DGCNNConfig(**{**base, "knn_query_chunk": 4096 + i})
+        tx = make_optimizer(use_sgd=True, lr=1e-4, epochs=2,
+                            steps_per_epoch=1)
+        st = init_train_state(jax.random.key(0), cfg, tx)
+        st, m = make_train_step(cfg, tx, donate=False)(st, pts, labels,
+                                                       mask)
+        outs[impl] = (float(m["loss"]), st)
+    assert abs(outs["interpret"][0] - outs["xla"][0]) < 1e-6
+    for a, b in zip(
+            jax.tree_util.tree_leaves(outs["interpret"][1].params),
+            jax.tree_util.tree_leaves(outs["xla"][1].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=2e-5)
