@@ -200,7 +200,11 @@ def scatter_stage_tail_rows(
             pltpu.VMEM((n_out, l), u.dtype) for _ in range(copies - 1)
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20,
+            # accumulators (out block + copies-1 scratch) + IO-block slack;
+            # the caller budgets the accumulator footprint
+            # (ops/edgeconv.py::_edge_stage_tail_bwd)
+            vmem_limit_bytes=max(64 * 2**20,
+                                 copies * n_out * l * 4 + 8 * 2**20),
         ),
         interpret=interpret,
     )(idx3, u, w, am)

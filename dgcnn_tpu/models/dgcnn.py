@@ -495,13 +495,8 @@ def _edge_stage_single_conv(
             w = params["conv5"]["w"]
             c_in = x.shape[-1]
             w_d, w_x = w[:c_in], w[c_in:]
-            xm = x if cd is None else x.astype(cd)
-            w_dm = w_d if cd is None else w_d.astype(cd)
-            w_cm = (w_x - w_d) if cd is None else (w_x - w_d).astype(cd)
-            a = jnp.einsum("bnc,cd->bnd", xm, w_dm,
-                           preferred_element_type=jnp.float32)
-            bvec = jnp.einsum("bnc,cd->bnd", xm, w_cm,
-                              preferred_element_type=jnp.float32)
+            a = _mm(x, w_d, cd)
+            bvec = _mm(x, w_x - w_d, cd)
             mx, bmean, bvar = edge_stage_tail_train(
                 a, bvec, idx, params["bn5"]["gamma"], params["bn5"]["beta"]
             )

@@ -268,39 +268,59 @@ def _bn_lrelu_max(e, gamma, beta):
     return out
 
 
-def _bn_lrelu_max_fwd(e, gamma, beta):
-    eps = 1e-5
-    slope = 0.2
+_BN_EPS = 1e-5
+_LRELU_SLOPE = 0.2
+
+
+def _bn_lrelu_max_core(e, gamma, beta):
+    """Shared forward core of the fused max tails: one-pass batch stats,
+    normalise, LReLU, first-max reduce. Single source of truth for the
+    constants (eps, slope) and the stat/argmax math used by BOTH the
+    stock (:func:`bn_lrelu_max_train`) and decomposed
+    (:func:`edge_stage_tail_train`) tails — they must stay bit-identical."""
     axes = tuple(range(e.ndim - 1))
     mean = jnp.mean(e, axis=axes)
     var = jnp.maximum(
         jnp.mean(jnp.square(e), axis=axes) - jnp.square(mean), 0.0
     )
-    inv = jax.lax.rsqrt(var + eps)
+    inv = jax.lax.rsqrt(var + _BN_EPS)
     y = (e - mean) * (inv * gamma) + beta
-    z = jnp.where(y >= 0, y, slope * y)
+    z = jnp.where(y >= 0, y, _LRELU_SLOPE * y)
     mx = jnp.max(z, axis=2)
     am = jnp.argmax(z, axis=2)          # first-max (lrelu is monotone)
     k = e.shape[2]
     am_dtype = jnp.int8 if k <= 127 else jnp.int32
-    res = (e, gamma, beta, mean, inv, am.astype(am_dtype), mx)
-    return (mx, mean, var), res
+    return mean, var, inv, mx, am.astype(am_dtype)
 
 
-def _bn_lrelu_max_bwd(res, cot):
-    g = cot[0]                          # mean/var outputs carry no loss
-    e, gamma, beta, mean, inv, am, mx = res
-    slope = 0.2
-    k = e.shape[2]
-    m_count = e.size // e.shape[-1]
-    gp = jnp.where(mx >= 0, g, slope * g)                  # (B, N, C)
-    ystar = jnp.where(mx >= 0, mx, mx / slope)
+def _max_tail_sums(g, mx, gamma, beta):
+    """Shared backward tables of the fused max tails: the LReLU-routed
+    max cotangent ``gp`` and its channel sums ``s1``/``s2`` (= dbeta/
+    dgamma), with xhat recovered from the max output (gamma==0 channels
+    keep the documented dgamma=0 convention)."""
+    gp = jnp.where(mx >= 0, g, _LRELU_SLOPE * g)           # (B, N, C)
+    ystar = jnp.where(mx >= 0, mx, mx / _LRELU_SLOPE)
     safe = jnp.abs(gamma) > 0
     xstar = jnp.where(
         safe, (ystar - beta) / jnp.where(safe, gamma, 1.0), 0.0
     )
     s1 = jnp.sum(gp, axis=(0, 1))
     s2 = jnp.sum(gp * xstar, axis=(0, 1))
+    return gp, s1, s2
+
+
+def _bn_lrelu_max_fwd(e, gamma, beta):
+    mean, var, inv, mx, am = _bn_lrelu_max_core(e, gamma, beta)
+    res = (e, gamma, beta, mean, inv, am, mx)
+    return (mx, mean, var), res
+
+
+def _bn_lrelu_max_bwd(res, cot):
+    g = cot[0]                          # mean/var outputs carry no loss
+    e, gamma, beta, mean, inv, am, mx = res
+    k = e.shape[2]
+    m_count = e.size // e.shape[-1]
+    gp, s1, s2 = _max_tail_sums(g, mx, gamma, beta)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k, 1), 2)
     dy = jnp.where(
         k_iota == am[:, :, None, :].astype(jnp.int32),
@@ -359,24 +379,10 @@ def _edge_stage_tail(a, bvec, idx, gamma, beta):
 
 
 def _edge_stage_tail_fwd(a, bvec, idx, gamma, beta):
-    eps = 1e-5
-    slope = 0.2
     e = _gather_impl(a, idx) + bvec[:, :, None, :]
-    axes = tuple(range(e.ndim - 1))
-    mean = jnp.mean(e, axis=axes)
-    var = jnp.maximum(
-        jnp.mean(jnp.square(e), axis=axes) - jnp.square(mean), 0.0
-    )
-    inv = jax.lax.rsqrt(var + eps)
-    y = (e - mean) * (inv * gamma) + beta
-    z = jnp.where(y >= 0, y, slope * y)
-    mx = jnp.max(z, axis=2)
-    am = jnp.argmax(z, axis=2)          # first-max (lrelu is monotone)
+    mean, var, inv, mx, am = _bn_lrelu_max_core(e, gamma, beta)
     se = jnp.sum(e, axis=2)             # (B, N, C): the bvec-cot sweep
-    k = e.shape[2]
-    am_dtype = jnp.int8 if k <= 127 else jnp.int32
-    res = (a, bvec, idx, gamma, beta, mean, inv, am.astype(am_dtype),
-           mx, se)
+    res = (a, bvec, idx, gamma, beta, mean, inv, am, mx, se)
     return (mx, mean, var), res
 
 
@@ -385,18 +391,10 @@ def _edge_stage_tail_bwd(res, cot):
 
     g = cot[0]                          # mean/var outputs carry no loss
     a, bvec, idx, gamma, beta, mean, inv, am, mx, se = res
-    slope = 0.2
     b, n, c = a.shape
     k = idx.shape[-1]
     m_count = b * n * k
-    gp = jnp.where(mx >= 0, g, slope * g)                  # (B, N, C)
-    ystar = jnp.where(mx >= 0, mx, mx / slope)
-    safe = jnp.abs(gamma) > 0
-    xstar = jnp.where(
-        safe, (ystar - beta) / jnp.where(safe, gamma, 1.0), 0.0
-    )
-    s1 = jnp.sum(gp, axis=(0, 1))
-    s2 = jnp.sum(gp * xstar, axis=(0, 1))
+    gp, s1, s2 = _max_tail_sums(g, mx, gamma, beta)
     gi = gamma * inv
     u = gi * gp                                            # (B, N, C)
     w = -(gi / m_count) * (s1 + (bvec - mean) * inv * s2)  # (B, N, C)
@@ -407,10 +405,22 @@ def _edge_stage_tail_bwd(res, cot):
         "kernel" if backend == "tpu" and a.dtype == jnp.float32
         else "xla",
     )
+    l_pad = -(-(c + 1) // 128) * 128
+    # total VMEM accumulator footprint (out block + rotation copies) must
+    # fit the kernel's scoped budget; clamp copies, and fall back to the
+    # XLA path entirely when even one accumulator is too big (mirrors
+    # scatter_rows_auto's guard — large-N configs must degrade, not
+    # fail to compile)
+    acc_bytes = (-(-(n + 1) // 8) * 8) * l_pad * 4
+    budget = int(os.environ.get("DGCNN_STAGE_TAIL_VMEM_MB", 48)) * 2**20
+    copies = max(int(os.environ.get("DGCNN_SCATTER_COPIES", 8)), 1)
+    while copies > 1 and copies * acc_bytes > budget:
+        copies //= 2
+    if impl == "kernel" and acc_bytes > budget:
+        impl = "xla"
     if impl in ("kernel", "interpret"):
         from dgcnn_tpu.kernels.scatter_pallas import scatter_stage_tail_rows
 
-        l_pad = -(-(c + 1) // 128) * 128
         zpad = jnp.zeros((b, n, l_pad - c), u.dtype)
         u_p = jnp.concatenate([u, zpad], -1)
         w_p = jnp.concatenate(
@@ -419,7 +429,6 @@ def _edge_stage_tail_bwd(res, cot):
         am_p = jnp.concatenate(
             [am.astype(jnp.int32),
              jnp.full((b, n, l_pad - c), -1, jnp.int32)], -1)
-        copies = max(int(os.environ.get("DGCNN_SCATTER_COPIES", 8)), 1)
         scat = scatter_stage_tail_rows(
             u_p, w_p, am_p, idx, k=k, n=n, copies=copies,
             interpret=impl == "interpret",

@@ -44,9 +44,11 @@ def _stock(a, bvec, idx, gamma, beta):
 
 
 def test_kernel_scatter_stage_tail_rows_matches_numpy():
+    # k=7 with copies=3: the j % ncopies rotation is UNEVEN (3/3/1),
+    # and q_block=8 does not divide n=37 (padding path)
     rng = np.random.default_rng(3)
     l = 128
-    n, k = 37, 6
+    n, k = 37, 7
     u = rng.normal(size=(2, n, l)).astype(np.float32)
     w = rng.normal(size=(2, n, l)).astype(np.float32)
     am = rng.integers(-1, k, (2, n, l)).astype(np.int32)
@@ -94,24 +96,20 @@ def test_backward_matches_stock_autodiff(impl, monkeypatch):
             err_msg=f"d{name} mismatch ({impl})")
 
 
-def test_backward_kernel_k_over_copies():
-    # k not divisible by copies (8) and q_block not dividing N: exercises
-    # the padding path and the j % ncopies rotation remainder
+def test_backward_kernel_k_over_copies(monkeypatch):
+    # copies=3 with k=5: the j % ncopies rotation is UNEVEN (2/2/1)
+    # through the custom-VJP path, and q_block does not divide N
     a, bvec, idx, gamma, beta = _inputs(2)
 
     def loss(a):
         mx, _, _ = edge_stage_tail_train(a, bvec, idx, gamma, beta)
         return jnp.sum(mx)
 
-    import os
-
-    os.environ["DGCNN_STAGE_TAIL_SCATTER"] = "interpret"
-    try:
-        g_k = jax.grad(loss)(a)
-    finally:
-        os.environ["DGCNN_STAGE_TAIL_SCATTER"] = "xla"
+    monkeypatch.setenv("DGCNN_STAGE_TAIL_SCATTER", "interpret")
+    monkeypatch.setenv("DGCNN_SCATTER_COPIES", "3")
+    g_k = jax.grad(loss)(a)
+    monkeypatch.setenv("DGCNN_STAGE_TAIL_SCATTER", "xla")
     g_x = jax.grad(loss)(a)
-    del os.environ["DGCNN_STAGE_TAIL_SCATTER"]
     np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
                                rtol=2e-5, atol=2e-5)
 
@@ -173,3 +171,29 @@ def test_full_train_step_kernel_backward(monkeypatch):
             jax.tree_util.tree_leaves(outs["xla"][1].params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=2e-5)
+
+
+def test_vmem_guard_falls_back_to_xla(monkeypatch):
+    """When one accumulator exceeds DGCNN_STAGE_TAIL_VMEM_MB, the kernel
+    impl must degrade to the XLA path instead of failing to compile —
+    spy asserts the Pallas kernel is never invoked."""
+    import dgcnn_tpu.kernels.scatter_pallas as sp
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("kernel path used despite VMEM guard")
+
+    monkeypatch.setattr(sp, "scatter_stage_tail_rows", boom)
+    monkeypatch.setenv("DGCNN_STAGE_TAIL_SCATTER", "kernel")
+    monkeypatch.setenv("DGCNN_STAGE_TAIL_VMEM_MB", "0")
+    a, bvec, idx, gamma, beta = _inputs(6)
+
+    def loss(a):
+        mx, _, _ = edge_stage_tail_train(a, bvec, idx, gamma, beta)
+        return jnp.sum(mx)
+
+    g_k = jax.grad(loss)(a)
+    monkeypatch.setenv("DGCNN_STAGE_TAIL_SCATTER", "xla")
+    monkeypatch.delenv("DGCNN_STAGE_TAIL_VMEM_MB")
+    g_x = jax.grad(loss)(a)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
+                               rtol=1e-6, atol=1e-6)
