@@ -192,16 +192,10 @@ def _snapshot_run_config(args) -> None:
         json.dump(snap, f, indent=1, default=str)
 
 
-def main(argv=None):
-    from dgcnn_tpu.utils.compilation_cache import (
-        enable_persistent_compilation_cache,
-    )
-
-    enable_persistent_compilation_cache()
-    import sys as _sys
-
-    argv = list(_sys.argv[1:] if argv is None else argv)
-    # --config file.json: JSON of flag defaults (explicit CLI flags win)
+def parse_cli(argv):
+    """Parse a CLI argv list, honouring ``--config file.json`` (JSON of
+    flag defaults; explicit CLI flags win)."""
+    argv = list(argv)
     if "--config" in argv:
         import json
 
@@ -212,9 +206,19 @@ def main(argv=None):
             conf = json.load(f)
         parser = build_parser()
         parser.set_defaults(**conf)
-        args = parser.parse_args(argv)
-    else:
-        args = build_parser().parse_args(argv)
+        return parser.parse_args(argv)
+    return build_parser().parse_args(argv)
+
+
+def main(argv=None):
+    from dgcnn_tpu.utils.compilation_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+    import sys as _sys
+
+    args = parse_cli(_sys.argv[1:] if argv is None else argv)
 
     from dgcnn_tpu.utils.logging import IOStream
 

@@ -1,0 +1,139 @@
+"""CLI front-end tests: the ``main.py`` flag surface actually drives the
+four reference modes end-to-end (process_data → train → eval → predict)
+and the --config/str2bool plumbing behaves. Reference CLI:
+/root/reference/main.py:43-136."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import main as cli
+from dgcnn_tpu.io.las import write_las
+
+K, NUM_POINTS, EMB = 6, 256, 32
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory):
+    """Tiny scene + params files + a cwd for checkpoints/ artifacts."""
+    root = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(7)
+    n, extent = 24000, 50.0
+    xy = rng.random((n, 2)) * extent
+    z = 0.02 * xy[:, 0] + rng.normal(0, 0.05, n)
+    cls = np.full(n, 2)
+    veg = rng.random(n) < 0.3
+    z[veg] += rng.random(veg.sum()) * 8 + 0.8
+    cls[veg] = 5
+    inb = (xy[:, 0] > 10) & (xy[:, 0] < 22) & (xy[:, 1] > 10) \
+        & (xy[:, 1] < 22) & ~veg
+    z[inb] = 0.02 * xy[inb, 0] + 5.0
+    cls[inb] = 6
+    raw = root / "raw"
+    raw.mkdir()
+    write_las(str(raw / "tile.las"), xy[:, 0] + 5e5, xy[:, 1] + 6e6, z, cls)
+
+    params = root / "params"
+    params.mkdir()
+    (params / "class_map.json").write_text(json.dumps({"2": 1, "5": 2,
+                                                       "6": 0}))
+    (params / "categories.json").write_text(json.dumps(
+        {"1.0": "ground", "2.0": "vegetation", "0.0": "building"}))
+    (params / "features.json").write_text(json.dumps(
+        {"X": 0, "Y": 1, "Z": 2, "AGL": 3, "Class": 4}))
+    return root
+
+
+def _chdir(monkeypatch, root):
+    cwd = root / "cwd"
+    cwd.mkdir(exist_ok=True)
+    monkeypatch.chdir(cwd)
+    # keep the persistent compilation cache out of the test environment
+    monkeypatch.setenv("DGCNN_JAX_CACHE_DIR", "")
+
+
+def test_str2bool():
+    assert cli.str2bool("Yes") and cli.str2bool("1") and cli.str2bool(True)
+    assert not cli.str2bool("f") and not cli.str2bool("NO")
+    with pytest.raises(Exception):
+        cli.str2bool("maybe")
+
+
+def test_config_file_defaults_cli_wins(tmp_path):
+    conf = tmp_path / "c.json"
+    conf.write_text(json.dumps({"k": 7, "epochs": 3, "exp_name": "fromcfg"}))
+    args = cli.parse_cli(["--config", str(conf), "--epochs", "9"])
+    assert args.k == 7                  # config default applied
+    assert args.epochs == 9             # explicit flag beats config
+    assert args.exp_name == "fromcfg"
+
+
+def test_cli_full_lifecycle(cli_env, monkeypatch):
+    """process_data → train (2 epochs) → eval → predict, all through
+    main.main(argv) exactly as a shell user would run them."""
+    _chdir(monkeypatch, cli_env)
+    base = cli_env / "base"
+    npy = base / "npy"
+    params = cli_env / "params"
+
+    cli.main([
+        "--mode", "process_data",
+        "--base_dir", str(base), "--root_dir", str(base),
+        "--pc_folder", str(cli_env / "raw"),
+        "--data_folder", str(base / "data"),
+        "--processed_data_folder", str(base / "processed"),
+        "--npy_data_folder", str(npy),
+        "--area", "TestArea",
+        "--categories_file", str(params / "categories.json"),
+        "--features_file", str(params / "features.json"),
+        "--class_map_file", str(params / "class_map.json"),
+        "--block_size", "40", "--sample_num", "2", "--min_class_num", "20",
+        "--num_points", str(NUM_POINTS), "--sub_block_size", "20",
+        "--sub_sample_num", "3", "--n_tries", "6",
+        "--desired_seed_cell_size", "20", "--boundary_block_width", "3",
+        "--cell_size", "1", "--seed", "0",
+    ])
+    rooms = [f for f in os.listdir(npy) if f.endswith(".npy")]
+    assert rooms, "process_data produced no npy rooms"
+
+    model_root = str(cli_env / "ckpt")
+    common = [
+        "--data_dir", str(npy), "--num_points", str(NUM_POINTS),
+        "--num_classes", "3", "--num_features", "4", "--k", str(K),
+        "--emb_dims", str(EMB), "--model_root", model_root,
+        "--exp_name", "cli_test", "--knn_impl", "xla",
+    ]
+    cli.main([
+        "--mode", "classifier", "--eval", "0", *common,
+        "--epochs", "2", "--batch_size", "2",
+        "--validation_batch_size", "2", "--validation_prop", "0.34",
+        "--dropout", "0.0", "--scheduler", "cos", "--seed", "3",
+    ])
+    assert os.path.exists(os.path.join(model_root, "dgcnn_model.npz"))
+
+    cli.main([
+        "--mode", "classifier", "--eval", "1", *common,
+        "--test_batch_size", "2", "--validation_prop", "0.34",
+        "--test_visu_dir", str(cli_env / "pred_dump"), "--seed", "3",
+    ])
+    dumps = os.listdir(cli_env / "pred_dump")
+    assert any(f.endswith("_pred_gt.txt") for f in dumps)
+
+    out_las = str(cli_env / "classified.las")
+    cli.main([
+        "--mode", "classifier", "--predict", str(cli_env / "raw" /
+                                                 "tile.las"),
+        "--predict_out", out_las, *common,
+        "--block_size", "20", "--min_class_confidence", "0.0",
+    ])
+    assert os.path.exists(out_las)
+    from dgcnn_tpu.io.las import read_las
+
+    lo = read_las(out_las)
+    assert len(lo) > 0
+    assert set(np.unique(lo.classification)) <= {0, 1, 2, 31}
