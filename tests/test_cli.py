@@ -73,33 +73,47 @@ def test_config_file_defaults_cli_wins(tmp_path):
     assert args.exp_name == "fromcfg"
 
 
-def test_cli_full_lifecycle(cli_env, monkeypatch):
-    """process_data → train (2 epochs) → eval → predict, all through
-    main.main(argv) exactly as a shell user would run them."""
-    _chdir(monkeypatch, cli_env)
+@pytest.fixture(scope="module")
+def cli_processed(cli_env):
+    """process_data through main.main(argv) — the CLI mode itself is
+    under test, so the fixture IS an assertion-bearing step."""
     base = cli_env / "base"
     npy = base / "npy"
     params = cli_env / "params"
-
-    cli.main([
-        "--mode", "process_data",
-        "--base_dir", str(base), "--root_dir", str(base),
-        "--pc_folder", str(cli_env / "raw"),
-        "--data_folder", str(base / "data"),
-        "--processed_data_folder", str(base / "processed"),
-        "--npy_data_folder", str(npy),
-        "--area", "TestArea",
-        "--categories_file", str(params / "categories.json"),
-        "--features_file", str(params / "features.json"),
-        "--class_map_file", str(params / "class_map.json"),
-        "--block_size", "40", "--sample_num", "2", "--min_class_num", "20",
-        "--num_points", str(NUM_POINTS), "--sub_block_size", "20",
-        "--sub_sample_num", "3", "--n_tries", "6",
-        "--desired_seed_cell_size", "20", "--boundary_block_width", "3",
-        "--cell_size", "1", "--seed", "0",
-    ])
+    os.environ["DGCNN_JAX_CACHE_DIR"] = ""
+    cwd = os.getcwd()
+    os.chdir(cli_env)
+    try:
+        cli.main([
+            "--mode", "process_data",
+            "--base_dir", str(base), "--root_dir", str(base),
+            "--pc_folder", str(cli_env / "raw"),
+            "--data_folder", str(base / "data"),
+            "--processed_data_folder", str(base / "processed"),
+            "--npy_data_folder", str(npy),
+            "--area", "TestArea",
+            "--categories_file", str(params / "categories.json"),
+            "--features_file", str(params / "features.json"),
+            "--class_map_file", str(params / "class_map.json"),
+            "--block_size", "40", "--sample_num", "2",
+            "--min_class_num", "20",
+            "--num_points", str(NUM_POINTS), "--sub_block_size", "20",
+            "--sub_sample_num", "3", "--n_tries", "6",
+            "--desired_seed_cell_size", "20", "--boundary_block_width", "3",
+            "--cell_size", "1", "--seed", "0",
+        ])
+    finally:
+        os.chdir(cwd)
     rooms = [f for f in os.listdir(npy) if f.endswith(".npy")]
     assert rooms, "process_data produced no npy rooms"
+    return npy
+
+
+def test_cli_full_lifecycle(cli_env, cli_processed, monkeypatch):
+    """train (2 epochs) → eval → predict, all through main.main(argv)
+    exactly as a shell user would run them."""
+    _chdir(monkeypatch, cli_env)
+    npy = cli_processed
 
     model_root = str(cli_env / "ckpt")
     common = [
@@ -137,3 +151,22 @@ def test_cli_full_lifecycle(cli_env, monkeypatch):
     lo = read_las(out_las)
     assert len(lo) > 0
     assert set(np.unique(lo.classification)) <= {0, 1, 2, 31}
+
+
+def test_cli_tensor_parallel_train(cli_env, cli_processed, monkeypatch):
+    """--tensor_parallel 2 through the CLI on the 8-virtual-device mesh:
+    the flag must reach train() and produce a loadable checkpoint."""
+    _chdir(monkeypatch, cli_env)
+    model_root = str(cli_env / "ckpt_tp")
+    cli.main([
+        "--mode", "classifier", "--eval", "0",
+        "--data_dir", str(cli_processed), "--num_points", str(NUM_POINTS),
+        "--num_classes", "3", "--num_features", "4", "--k", str(K),
+        "--emb_dims", str(EMB), "--model_root", model_root,
+        "--exp_name", "cli_tp", "--knn_impl", "xla",
+        "--tensor_parallel", "2",
+        "--epochs", "1", "--batch_size", "2",
+        "--validation_batch_size", "2", "--validation_prop", "0.34",
+        "--dropout", "0.0", "--seed", "3",
+    ])
+    assert os.path.exists(os.path.join(model_root, "dgcnn_model.npz"))
