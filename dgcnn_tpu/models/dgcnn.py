@@ -224,6 +224,21 @@ class DGCNNConfig:
         return None if self.compute_dtype is None else jnp.dtype(self.compute_dtype)
 
 
+def _vmem_table_ok(n: int, c: int) -> bool:
+    """The fused eval stage kernels and the capped/banded kNN kernels keep
+    an (N, C) table resident in VMEM; beyond this budget Mosaic fails
+    scoped-VMEM allocation, so the AUTO paths must degrade to the XLA
+    chain instead of failing to compile (e.g. ``use_all_points`` eval on
+    very large rooms). Explicitly-requested pallas impls are not gated.
+    ``DGCNN_FUSE_VMEM_MB`` overrides the 48 MiB default."""
+    import os
+
+    budget = int(os.environ.get("DGCNN_FUSE_VMEM_MB", 48))
+    n_pad = -(-n // 128) * 128
+    c_pad = max(-(-c // 8) * 8, 8)
+    return n_pad * c_pad * 4 <= budget * 2**20
+
+
 def _conv_init(key: jax.Array, c_in: int, c_out: int) -> jax.Array:
     """torch Conv default init: kaiming_uniform(a=sqrt(5)) on a 1×1 kernel
     reduces to U(-1/sqrt(c_in), 1/sqrt(c_in))."""
@@ -340,8 +355,10 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
         # >= 99.95%, per-class IoU deltas ~3e-4; BASELINE.md). Set
         # knn_impl="pallas" explicitly for the bit-exact parity mode.
         # Chunked XLA top_k elsewhere (the kernels would only run
-        # interpreted off-TPU).
-        if jax.default_backend() == "tpu":
+        # interpreted off-TPU), and for tables too large for VMEM
+        # residency (auto must degrade, not fail Mosaic compile).
+        if (jax.default_backend() == "tpu"
+                and _vmem_table_ok(x.shape[1], x.shape[-1])):
             impl = "pallas_capped"
         else:
             impl = "xla"
@@ -425,7 +442,7 @@ def _edge_stage_two_conv(
     # applies there only (stages 2-3 re-knn in feature space)
     idx = _knn(x, cfg, train=train, spatial=conv_a == "conv1",
                sorted_ok=sorted_ok)
-    if not train and cfg._fuse_on:
+    if not train and cfg._fuse_on and _vmem_table_ok(x.shape[1], 64):
         from dgcnn_tpu.kernels.edgeconv_pallas import (
             edgeconv_fused_stage,
             fold_bn,
@@ -507,7 +524,7 @@ def _edge_stage_single_conv(
         e, s5 = _batch_norm(e, params["bn5"], state["bn5"], train=True,
                             one_pass=cfg.bn_stats == "one_pass")
         return checkpoint_name(max_over_k(_lrelu(e)), "pt"), {"bn5": s5}
-    if cfg._fuse_on:
+    if cfg._fuse_on and _vmem_table_ok(x.shape[1], 64):
         from dgcnn_tpu.kernels.edgeconv_pallas import (
             edgeconv_fused_extrema,
             fold_bn,

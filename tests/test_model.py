@@ -312,3 +312,37 @@ def test_dropout_bit_mask_statistics():
     # per-channel rates are individually near 1/2 (no stuck bit lanes)
     per_c = mask.reshape(-1, 256).mean(0)
     assert per_c.min() > 0.33 and per_c.max() < 0.67
+
+
+def test_fused_eval_vmem_gate(rng):
+    """DGCNN_FUSE_VMEM_MB=0 must route eval to the XLA chain (graceful
+    large-N degradation) with identical output to the fused kernels."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from dgcnn_tpu.models.dgcnn import (
+        DGCNNConfig, apply_dgcnn, init_dgcnn, _vmem_table_ok,
+    )
+
+    assert _vmem_table_ok(7000, 64)
+    assert not _vmem_table_ok(300_000, 64)  # 48 MiB default budget
+
+    base = dict(num_classes=3, num_features=3, k=5, emb_dims=32,
+                dropout=0.0, fuse_epilogue=True)
+    x = jnp.asarray(rng.normal(size=(2, 40, 3)).astype("float32"))
+    outs = {}
+    for i, mb in enumerate(("", "0")):
+        if mb:
+            os.environ["DGCNN_FUSE_VMEM_MB"] = mb
+        else:
+            os.environ.pop("DGCNN_FUSE_VMEM_MB", None)
+        try:
+            cfg = DGCNNConfig(knn_query_chunk=1024 + i, **base)
+            params, state = init_dgcnn(jax.random.key(0), cfg)
+            logits, _ = apply_dgcnn(params, state, x, cfg, train=False)
+            outs[mb] = np.asarray(logits)
+        finally:
+            os.environ.pop("DGCNN_FUSE_VMEM_MB", None)
+    np.testing.assert_array_equal(outs[""], outs["0"])
