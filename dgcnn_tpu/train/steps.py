@@ -75,10 +75,24 @@ def make_optimizer(
     scheduler: str = "cos",
     epochs: int = 30,
     steps_per_epoch: int = 1,
+    flatten: bool = False,
 ) -> optax.GradientTransformation:
     """Reference-matching optimizer. The schedule is evaluated per optimizer
     step but changes value once per epoch (epoch = step // steps_per_epoch),
-    matching per-epoch ``scheduler.step()`` semantics."""
+    matching per-epoch ``scheduler.step()`` semantics.
+
+    ``flatten=True`` wraps the chain in :func:`optax.flatten`: the update
+    runs on ONE concatenated parameter vector instead of ~50 per-leaf ops.
+    Every transform in the chain is elementwise (L2 decay, Adam/momentum
+    moments, schedule scaling), so the flattened update is the same
+    arithmetic per element (tests/test_train.py asserts it). MEASURED A
+    WASH on-device (scripts/exp_opt_flatten.py: 63.6 vs 63.7 ms full train
+    step, interleaved trials) — the whole step is one jit'd XLA program, so
+    the per-leaf updates are already fused, not host-launch-bound. Default
+    False: flattening changes the ``opt_state`` checkpoint layout (flat
+    moment vectors) for zero gain, and concatenation would force a
+    resharding gather when leaves carry heterogeneous shardings (the
+    tensor-parallel path)."""
     base_lr = lr * 100 if use_sgd else lr
     if scheduler == "cos":
         epoch_sched = cosine_annealing(base_lr, epochs)
@@ -96,11 +110,12 @@ def make_optimizer(
         core = optax.trace(decay=momentum, nesterov=False)
     else:
         core = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
-    return optax.chain(
+    tx = optax.chain(
         optax.add_decayed_weights(weight_decay),  # torch L2-into-grad
         core,
         optax.scale_by_schedule(lambda s: -sched(s)),
     )
+    return optax.flatten(tx) if flatten else tx
 
 
 def init_train_state(

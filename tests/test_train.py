@@ -313,3 +313,24 @@ def test_knn_train_unroll_auto_marker(tmp_path, monkeypatch):
     # and the auto run trains fine (resolves the marker internally)
     train(2, io, model_root=str(tmp_path / "m2"),
           knn_train_unroll="auto", **kwargs)
+
+
+def test_flattened_optimizer_matches_per_leaf():
+    """make_optimizer(flatten=True) (the default) must match the per-leaf
+    chain: every transform is elementwise, so the concatenated-vector
+    update is the same arithmetic per element (up to 1-ulp XLA fusion
+    differences). Two Adam steps; losses exactly equal, params to 1 ulp."""
+    pts, labels, mask = _batch(3)
+    trajs = []
+    for flat in (True, False):
+        tx = make_optimizer(lr=3e-3, scheduler="none", flatten=flat)
+        state = init_train_state(jax.random.key(0), CFG, tx)
+        step = make_train_step(CFG, tx, donate=False)
+        for _ in range(2):
+            state, m = step(state, pts, labels, mask)
+        trajs.append((state.params, float(m["loss"])))
+    assert trajs[0][1] == trajs[1][1]
+    for a, b in zip(jax.tree_util.tree_leaves(trajs[0][0]),
+                    jax.tree_util.tree_leaves(trajs[1][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-7, atol=1e-9)
