@@ -108,6 +108,7 @@ def predict(
     knn_impl: str = "auto",
     knn_band: int | None = None,
     knn_band_feature: int | None = None,
+    knn_share_stage3: bool = False,
     compute_dtype: str | None = None,
     matmul_precision: str | None = None,
     save_block_las: bool = False,
@@ -151,6 +152,7 @@ def predict(
            else {"knn_band_feature": knn_band_feature}),
         **({} if ring_band_shards is None
            else {"ring_band_shards": ring_band_shards}),
+        knn_share_stage3=bool(knn_share_stage3),
     )
     params, bn_state = _restore(cfg, model_root, model_label, io)
     predict_step = make_predict_step(

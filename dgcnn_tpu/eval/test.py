@@ -104,6 +104,7 @@ def test(
     knn_impl: str = "auto",
     knn_band: int | None = None,
     knn_band_feature: int | None = None,
+    knn_share_stage3: bool = False,
     compute_dtype: str | None = None,
     matmul_precision: str | None = None,
     dump_logits: bool = False,
@@ -119,6 +120,7 @@ def test(
         **({} if knn_band is None else {"knn_band": knn_band}),
         **({} if knn_band_feature is None
            else {"knn_band_feature": knn_band_feature}),
+        knn_share_stage3=bool(knn_share_stage3),
     )
     dataset = FugroDataset(
         "test", data_dir, num_point=num_points,
@@ -292,6 +294,7 @@ def test_args(args, io: IOStream) -> dict:
             knn_impl=getattr(args, "knn_impl", "auto"),
             knn_band=getattr(args, "knn_band", None),
             knn_band_feature=getattr(args, "knn_band_feature", None),
+            knn_share_stage3=getattr(args, "knn_share_stage3", False),
             compute_dtype=getattr(args, "compute_dtype", None),
             matmul_precision=getattr(args, "matmul_precision", None),
             validation_prop=args.validation_prop,
@@ -316,6 +319,7 @@ def test_args(args, io: IOStream) -> dict:
         knn_impl=getattr(args, "knn_impl", "auto"),
         knn_band=getattr(args, "knn_band", None),
         knn_band_feature=getattr(args, "knn_band_feature", None),
+        knn_share_stage3=getattr(args, "knn_share_stage3", False),
         compute_dtype=getattr(args, "compute_dtype", None),
         matmul_precision=getattr(args, "matmul_precision", None),
         validation_prop=args.validation_prop,

@@ -124,6 +124,18 @@ class DGCNNConfig:
     # globally x-sorted). 0 (default) keeps stages 2-3 on the exact full
     # ring; opt in once banded-ring agreement is evidenced on your data.
     ring_band_feature_shards: int = 0
+    # Shared-graph stage 3 (opt-in approximation): reuse stage 2's
+    # x1-space neighbour indices for stage 3 instead of re-kNN'ing in
+    # x2 space — the classic "static graph" DGCNN variant. Drops one of
+    # the three kNN calls from the forward (and from every train step).
+    # OFF by default: the reference recomputes the graph per stage
+    # (/root/reference/model.py:120-133 calls get_graph_feature on each
+    # stage's own features), and sharing changes predictions — opt in
+    # only with measured agreement on your data (BASELINE.md records the
+    # trained-model numbers). Applies to the single-host forward; the
+    # point-sharded path (parallel/sharded_model.py) ignores it and
+    # always builds exact per-stage graphs.
+    knn_share_stage3: bool = False
     # Fused eval EdgeConv stage kernels with in-kernel gather
     # (kernels/edgeconv_pallas.py): the (B,N,k,C) gathered tensor never
     # touches HBM — measured ~2x per stage vs the XLA chain, bit-exact.
@@ -197,6 +209,9 @@ class DGCNNConfig:
             if not isinstance(v, int) or isinstance(v, bool) or v < 0:
                 raise ValueError(
                     f"{f_} {v!r} must be a non-negative int")
+        if not isinstance(self.knn_share_stage3, bool):
+            raise ValueError(
+                f"knn_share_stage3 {self.knn_share_stage3!r} must be a bool")
         if not isinstance(self.knn_train_unroll, bool):
             # "auto" resolution lives in train/loop.py (it needs the
             # cache-warm marker context); a string here would be silently
@@ -428,20 +443,33 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
 
 
 def _edge_stage_two_conv(
-    x, cfg, params, state, names, *, train, sorted_ok=None
-) -> tuple[jax.Array, BNState]:
+    x, cfg, params, state, names, *, train, sorted_ok=None,
+    return_idx=False
+):
     """EdgeConv stage with two convs (stages 1 and 2): decomposed first conv,
     BN+LReLU, k-expanded second conv, BN+LReLU, max over k. In eval mode
     with ``cfg.fuse_epilogue`` (default "auto": on-TPU) the gather AND the
     whole post-gather chain run in one Pallas kernel with the point table
     resident in VMEM (kernels/edgeconv_pallas.py) — the (B,N,k,C) tensor
-    never touches HBM."""
+    never touches HBM.
+
+    Returns ``(out, bn_updates)``, plus the stage's neighbour indices when
+    ``return_idx`` (the ``knn_share_stage3`` path hands stage 2's graph to
+    stage 3)."""
     conv_a, bn_a, conv_b, bn_b = names
     cd = cfg._cdtype
     # stage 1 ("conv1") sees raw coordinates — the banded spatial kernel
     # applies there only (stages 2-3 re-knn in feature space)
     idx = _knn(x, cfg, train=train, spatial=conv_a == "conv1",
                sorted_ok=sorted_ok)
+    out, upd = _two_conv_body(
+        x, idx, cfg, params, state, (conv_a, bn_a, conv_b, bn_b),
+        train=train, cd=cd)
+    return (out, upd, idx) if return_idx else (out, upd)
+
+
+def _two_conv_body(x, idx, cfg, params, state, names, *, train, cd):
+    conv_a, bn_a, conv_b, bn_b = names
     if not train and cfg._fuse_on and _vmem_table_ok(x.shape[1], 64):
         from dgcnn_tpu.kernels.edgeconv_pallas import (
             edgeconv_fused_stage,
@@ -491,15 +519,17 @@ def _edge_stage_two_conv(
 
 
 def _edge_stage_single_conv(
-    x, cfg, params, state, *, train, sorted_ok=None
+    x, cfg, params, state, *, train, sorted_ok=None, idx=None
 ) -> tuple[jax.Array, BNState]:
     """Stage 3 (conv5 only). Eval mode folds max-over-k through BN+LReLU:
     both are per-channel monotone (increasing iff the BN scale >= 0), so
     max_j act(BN(e_j)) = act(BN(max-or-min_j e_j)) selected by sign(gamma).
     Training materialises the (B,N,k,64) activations since BN batch stats
-    range over the k axis."""
+    range over the k axis. A precomputed ``idx`` (the ``knn_share_stage3``
+    path: stage 2's graph) skips this stage's kNN."""
     cd = cfg._cdtype
-    idx = _knn(x, cfg, train=train, sorted_ok=sorted_ok)
+    if idx is None:
+        idx = _knn(x, cfg, train=train, sorted_ok=sorted_ok)
     if train:
         if cfg.stage_tail_fused and cfg.bn_stats == "one_pass":
             # decomposed form of edge_conv_linear (same einsums, bit-
@@ -628,10 +658,12 @@ def _apply_dgcnn(
             return x1, new_state
         tap = x1
 
-    x2, upd = _edge_stage_two_conv(
+    share3 = cfg.knn_share_stage3
+    res2 = _edge_stage_two_conv(
         x1, cfg, params, state, ("conv3", "bn3", "conv4", "bn4"),
-        train=train, sorted_ok=sorted_ok
+        train=train, sorted_ok=sorted_ok, return_idx=share3
     )
+    x2, upd = res2[0], res2[1]
     new_state.update(upd)
     if depth == 2:
         if not with_logits:
@@ -639,7 +671,8 @@ def _apply_dgcnn(
         tap = x2
 
     x3, upd = _edge_stage_single_conv(x2, cfg, params, state, train=train,
-                                      sorted_ok=sorted_ok)
+                                      sorted_ok=sorted_ok,
+                                      idx=res2[2] if share3 else None)
     new_state.update(upd)
     if depth == 3:
         if not with_logits:

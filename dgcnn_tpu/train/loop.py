@@ -85,6 +85,7 @@ def train(
     knn_train_unroll: "bool | str" = "auto",
     knn_band: int | None = None,
     knn_band_feature: int | None = None,
+    knn_share_stage3: bool = False,
     compute_dtype: str | None = None,
     matmul_precision: str | None = None,
     data_parallel: bool = True,
@@ -114,6 +115,7 @@ def train(
         **({} if knn_band is None else {"knn_band": knn_band}),
         **({} if knn_band_feature is None
            else {"knn_band_feature": knn_band_feature}),
+        knn_share_stage3=bool(knn_share_stage3),
     )
     train_data = FugroDataset(
         "train", data_dir, num_point=num_points,
@@ -387,6 +389,7 @@ def train_args(args, io: IOStream) -> dict:
         knn_train_unroll=getattr(args, "knn_train_unroll", False),
         knn_band=getattr(args, "knn_band", None),
         knn_band_feature=getattr(args, "knn_band_feature", None),
+        knn_share_stage3=getattr(args, "knn_share_stage3", False),
         tensor_parallel=getattr(args, "tensor_parallel", 1),
         patience=getattr(args, "patience", None),
     )

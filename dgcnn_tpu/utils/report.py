@@ -101,7 +101,8 @@ def collect_report(probe_device: bool = True) -> dict:
     cfg = DGCNNConfig()
     rep["config_defaults"] = {
         f: getattr(cfg, f)
-        for f in ("knn_impl", "knn_band", "knn_band_feature", "knn_cap",
+        for f in ("knn_impl", "knn_band", "knn_band_feature",
+                  "knn_share_stage3", "knn_cap",
                   "ring_band_shards", "ring_band_feature_shards",
                   "fuse_epilogue", "bn_stats", "stage_tail_fused",
                   "knn_train_unroll", "dropout_rng_impl")

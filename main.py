@@ -104,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "learned features; uncertified, trained-model "
                         "evidenced — kernels/knn_pallas.py). Unset = the "
                         "DGCNNConfig default; 0 disables")
+    p.add_argument("--knn_share_stage3", type=str2bool, default=False,
+                   help="reuse stage 2's neighbour graph for stage 3 "
+                        "instead of re-kNN'ing in x2 feature space (the "
+                        "'static graph' DGCNN approximation) — one fewer "
+                        "kNN per forward; changes predictions, opt-in "
+                        "(BASELINE.md records trained-model agreement)")
     p.add_argument("--ring_band_shards", type=int, default=None,
                    help="banded ring kNN for --point_shards: visit only "
                         "the 2s+1 ring-adjacent shards, certified exact "
@@ -239,6 +245,7 @@ def main(argv=None):
                 model_label=args.model_label, model_root=args.model_root,
                 knn_impl=args.knn_impl, knn_band=args.knn_band,
                 knn_band_feature=args.knn_band_feature,
+                knn_share_stage3=args.knn_share_stage3,
                 compute_dtype=args.compute_dtype,
                 matmul_precision=args.matmul_precision,
                 classify_all=args.classify_all,

@@ -346,3 +346,57 @@ def test_fused_eval_vmem_gate(rng):
         finally:
             os.environ.pop("DGCNN_FUSE_VMEM_MB", None)
     np.testing.assert_array_equal(outs[""], outs["0"])
+
+
+def test_knn_share_stage3(model_and_input):
+    """Opt-in shared-graph stage 3 (cfg.knn_share_stage3): stage 3 reuses
+    stage 2's x1-space neighbour indices instead of re-kNN'ing on x2. The
+    knob-on forward must equal a hand-wired forward that feeds stage 2's
+    graph into stage 3, differ from the default (the graphs genuinely
+    differ on generic inputs), and issue exactly 2 kNN calls (vs 3)."""
+    import dataclasses as dc
+
+    from dgcnn_tpu.models import dgcnn as M
+
+    params, state, x = model_and_input
+    cfg_on = dc.replace(CFG, knn_share_stage3=True)
+
+    calls = []
+    real_knn = M._knn
+
+    def spy(xf, cfg, **kw):
+        calls.append(xf.shape)
+        return real_knn(xf, cfg, **kw)
+
+    M._knn = spy
+    try:
+        out_off, _ = apply_dgcnn(params, state, x, CFG, depth=3)
+        n_off = len(calls)
+        calls.clear()
+        out_on, _ = apply_dgcnn(params, state, x, cfg_on, depth=3)
+        n_on = len(calls)
+    finally:
+        M._knn = real_knn
+    assert (n_off, n_on) == (3, 2)
+    assert not np.allclose(np.asarray(out_off), np.asarray(out_on))
+
+    # hand-wired expectation: stage 3 on stage 2's indices
+    x1, _ = apply_dgcnn(params, state, x, CFG, depth=1)
+    x2, _ = apply_dgcnn(params, state, x, CFG, depth=2)
+    idx2 = M._knn(x1, CFG, train=False, spatial=False)
+    want, _ = M._edge_stage_single_conv(
+        x2, CFG, params, state, train=False, idx=idx2)
+    np.testing.assert_allclose(np.asarray(out_on), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    # full forward + train mode run under the knob (gradients flow)
+    logits, _ = apply_dgcnn(params, state, x, cfg_on)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    g = jax.grad(
+        lambda p: apply_dgcnn(p, state, x, cfg_on, train=True,
+                              rng=jax.random.key(2))[0].sum()
+    )(params)
+    assert np.all(np.isfinite(np.asarray(g["conv5"]["w"])))
+
+    with pytest.raises(ValueError):
+        dc.replace(CFG, knn_share_stage3="yes")
