@@ -175,6 +175,12 @@ def predict(
         return np.zeros((0, data.shape[1])), np.zeros((0,), np.int32)
 
     if point_shards > 1:
+        if cfg.knn_share_stage3:
+            # the point-sharded forward (parallel/sharded_model.py) always
+            # builds exact per-stage graphs — say so instead of silently
+            # dropping the knob
+            io.cprint("note: knn_share_stage3 is ignored by the "
+                      "point-sharded forward (exact per-stage graphs)")
         dtm = build_dtm(data[:, :3], **(dtm_kwargs or {}))
         agl = gen_agl(dtm, data[:, :3])
         fcols = {k_.lower(): v for k_, v in features.items()}

@@ -391,7 +391,7 @@ def _knn_kernel_packed_capped(
 def _knn_kernel_banded(
     start_ref, x_ref, q_ref, cnorm_ref, idx_ref, key_ref, packed_scr,
     win_scr, *, band, n_win, cap, k_pad, n_pad, k_real, idx_bits,
-    unroll_cap=0, unroll_merge=0,
+    unroll_cap=0, unroll_merge=0, study=None,
 ):
     """Banded capped extraction for SORTED point clouds (stage-1 kNN).
 
@@ -424,15 +424,38 @@ def _knn_kernel_banded(
     """
     start = start_ref[0, 0, 0]
     q = q_ref[0]
+    qt = q.shape[0]
     xb = x_ref[0, pl.dslice(start, band), :]          # (band, c_pad)
     cnb = cnorm_ref[0, pl.dslice(start, band), :]     # (band, 1)
-    scores = 2.0 * jax.lax.dot_general(
-        xb, q,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) - cnb                                           # (band, qt)
-    scores = scores - jnp.sum(q * q, axis=1)[None, :]
-    qt = q.shape[0]
+    if study == "no_mm":
+        # ablation: skip the distance matmul, keep everything downstream
+        # (pack + extraction + merge) — isolates the MXU share
+        scores = -cnb - jnp.sum(q * q, axis=1)[None, :]   # (band, qt)
+    elif study == "bf16_mm":
+        # ablation: bf16 operands for the distance dot (the production dot
+        # is f32-in/default-precision — one bf16 MXU pass already)
+        scores = 2.0 * jax.lax.dot_general(
+            xb.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) - cnb
+        scores = scores - jnp.sum(q * q, axis=1)[None, :]
+    else:
+        scores = 2.0 * jax.lax.dot_general(
+            xb, q,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) - cnb                                       # (band, qt)
+        scores = scores - jnp.sum(q * q, axis=1)[None, :]
+    if study == "score_only":
+        # ablation: matmul + epilogue only; one max pass forces full
+        # evaluation, outputs are junk (study harness never reads them
+        # for correctness)
+        red = jax.lax.bitcast_convert_type(
+            jnp.max(scores, axis=0, keepdims=True), jnp.int32)  # (1, qt)
+        key_ref[0] = red
+        idx_ref[0] = jnp.broadcast_to(red, (k_pad, qt))
+        return
     bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
     key = jnp.where(bits >= 0, bits, jnp.int32(-0x80000000) - bits) >> 1
     imask = jnp.int32((1 << idx_bits) - 1)
@@ -445,6 +468,14 @@ def _knn_kernel_banded(
     w_sz = band // n_win
     int_min = jnp.int32(-0x80000000)
     packed_scr[:] = packed.reshape(w_sz, n_win, qt)
+
+    if study == "no_extract":
+        # ablation: score + pack + scratch store + ONE max pass; skips the
+        # cap extraction passes and the merge — outputs are junk
+        red = jnp.max(packed_scr[:], axis=(0, 1), keepdims=True)  # (1,1,qt)
+        key_ref[0] = red[0]
+        idx_ref[0] = jnp.broadcast_to(red[0], (k_pad, qt))
+        return
 
     upper = jnp.int32((1 << 30) + 1)
     m0 = jnp.full((1, n_win, qt), upper)
@@ -1066,7 +1097,7 @@ def knn_pallas_feature_banded(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "band", "n_win", "cap", "query_tile",
-                     "unroll_cap", "unroll_merge", "interpret"),
+                     "unroll_cap", "unroll_merge", "interpret", "study"),
 )
 def _knn_banded_jit(
     x: jax.Array,
@@ -1079,8 +1110,16 @@ def _knn_banded_jit(
     unroll_cap: int = 0,
     unroll_merge: int = 0,
     interpret: bool = False,
+    study: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Raw banded kernel: ((B, N, k) indices, (B, N) k-th packed keys)."""
+    """Raw banded kernel: ((B, N, k) indices, (B, N) k-th packed keys).
+
+    ``study`` (ablation instrumentation, scripts/exp_knn_floor.py) trades
+    correctness for a phase-isolated timing: "score_only" stops after the
+    distance matmul + epilogue, "no_extract" after packing + scratch
+    store, "no_mm" replaces the matmul with a broadcast, "bf16_mm" feeds
+    the dot bf16 operands. Outputs are JUNK for every value except None.
+    """
     b, n, c = x.shape
     n_pad = _round_up(n, 128)
     c_pad = max(_round_up(c, 8), 8)
@@ -1101,7 +1140,7 @@ def _knn_banded_jit(
     kernel = functools.partial(
         _knn_kernel_banded, band=band, n_win=n_win, cap=cap, k_pad=k_pad,
         n_pad=n_pad, k_real=k, idx_bits=idx_bits, unroll_cap=unroll_cap,
-        unroll_merge=unroll_merge,
+        unroll_merge=unroll_merge, study=study,
     )
     nq = n_q_pad // qt
     idx_out, key_out = pl.pallas_call(

@@ -244,8 +244,13 @@ def _vmem_table_ok(n: int, c: int) -> bool:
     an (N, C) table resident in VMEM; beyond this budget Mosaic fails
     scoped-VMEM allocation, so the AUTO paths must degrade to the XLA
     chain instead of failing to compile (e.g. ``use_all_points`` eval on
-    very large rooms). Explicitly-requested pallas impls are not gated.
-    ``DGCNN_FUSE_VMEM_MB`` overrides the 48 MiB default."""
+    very large rooms). Explicitly-requested kNN impls (``knn_impl=
+    "pallas_capped"``) are not gated — exactness-class choices must win —
+    but the fused EVAL stage kernels are gated even at ``fuse_epilogue=
+    True``: they are a bit-exact epilogue optimization, so past the table
+    budget they degrade to the identical XLA chain rather than fail the
+    Mosaic scoped-VMEM allocation. Raise ``DGCNN_FUSE_VMEM_MB`` (default
+    48 MiB) to force the kernels on larger tables."""
     import os
 
     budget = int(os.environ.get("DGCNN_FUSE_VMEM_MB", 48))

@@ -174,6 +174,8 @@ def train(
         # parallel layout changes the partitioned program; ragged
         # use_all_points mode compiles one program per shape bucket
         len(jax.devices()), data_parallel, tensor_parallel, use_all_points,
+        # graph-construction knobs change the traced kNN program too
+        cfg.knn_band, cfg.knn_band_feature, cfg.knn_share_stage3,
     )
     if knn_train_unroll == "auto":
         knn_train_unroll = is_warm(unroll_key)

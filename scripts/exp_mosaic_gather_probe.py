@@ -55,7 +55,10 @@ if f is not None:
         acc = jnp.zeros((), jnp.float32)
         o = None
         for i in range(50):
-            o = f(tab, idx + (i % 2))
+            # vary indices across reps without ever leaving [0, 1024):
+            # idx + 1 can reach the table size, and tpu.dynamic_gather's
+            # OOB semantics are unspecified (could time a different path)
+            o = f(tab, (idx + (i % 2)) % 1024)
             acc = acc + o[0, 0]
         return acc
     float(many(tab, idx))

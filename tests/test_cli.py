@@ -80,6 +80,10 @@ def cli_processed(cli_env):
     base = cli_env / "base"
     npy = base / "npy"
     params = cli_env / "params"
+    # disable the persistent compilation cache for every test in this
+    # module (restored at module teardown — '' would otherwise leak and
+    # silently disable cache/warm-marker behaviour for later modules)
+    prev_cache = os.environ.get("DGCNN_JAX_CACHE_DIR")
     os.environ["DGCNN_JAX_CACHE_DIR"] = ""
     cwd = os.getcwd()
     os.chdir(cli_env)
@@ -106,7 +110,11 @@ def cli_processed(cli_env):
         os.chdir(cwd)
     rooms = [f for f in os.listdir(npy) if f.endswith(".npy")]
     assert rooms, "process_data produced no npy rooms"
-    return npy
+    yield npy
+    if prev_cache is None:
+        os.environ.pop("DGCNN_JAX_CACHE_DIR", None)
+    else:
+        os.environ["DGCNN_JAX_CACHE_DIR"] = prev_cache
 
 
 def test_cli_full_lifecycle(cli_env, cli_processed, monkeypatch):

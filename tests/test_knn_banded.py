@@ -157,3 +157,22 @@ def test_model_config_knob(rng):
     l1, _ = apply_dgcnn(params, state, xs, cfg_small, train=False)
     l0, _ = apply_dgcnn(params, state, xs, cfg_off, train=False)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+
+
+def test_study_ablation_variants_run(rng):
+    """The `study` instrumentation kwarg (scripts/exp_knn_floor.py) must
+    keep compiling in every mode and must not perturb the production
+    (study=None) output. Study outputs are junk by contract — only shape
+    and dtype are asserted."""
+    from dgcnn_tpu.kernels.knn_pallas import _knn_banded_jit
+
+    x = sorted_cloud(rng, 2, 600, 8)
+    kw = dict(band=256, n_win=8, cap=4, query_tile=128, interpret=True)
+    idx0, keys0 = _knn_banded_jit(x, 6, **kw)
+    idxn, keysn = _knn_banded_jit(x, 6, study=None, **kw)
+    np.testing.assert_array_equal(np.asarray(idx0), np.asarray(idxn))
+    np.testing.assert_array_equal(np.asarray(keys0), np.asarray(keysn))
+    for mode in ("score_only", "no_extract", "no_mm", "bf16_mm"):
+        idx, keys = _knn_banded_jit(x, 6, study=mode, **kw)
+        assert idx.shape == (2, 600, 6) and idx.dtype == jnp.int32, mode
+        assert keys.shape == (2, 600) and keys.dtype == jnp.int32, mode

@@ -175,6 +175,16 @@ def test_dryrun_bootstraps_uninitialized_process():
     assert "dryrun_multichip(2): ok" in r.stdout
 
 
+def test_dryrun_odd_device_count_skips_tp():
+    """Odd n >= 3 puts the whole mesh on the points axis (n_sp = n), which
+    cannot shard the 32/192-wide trunk channels — the TP section must be
+    skipped with a note, not crash in shard_params_tp (round-3 regression)."""
+    r = _run_dryrun_subprocess("", 3)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dryrun_multichip(3): ok" in r.stdout
+    assert "TP train skipped" in r.stdout
+
+
 def test_dryrun_reexecs_when_backend_pinned():
     """Process already initialized a 1-device backend: dryrun must detect the
     shortage and re-exec a virtual-CPU child rather than crash."""
@@ -300,7 +310,8 @@ def test_knn_train_unroll_auto_marker(tmp_path, monkeypatch):
 
     key = cc.warm_key("train-unroll", 2, 32, 5, 4, 32, 0.5, "xla", None,
                       None, 2, 1, False, True, False, (), False, 0.001,
-                      0.9, "cos", 1, 1, 8, False, 1, False)
+                      0.9, "cos", 1, 1, 8, False, 1, False,
+                      2048, 4096, False)
     assert not cc.is_warm(key)
     train(2, io, model_root=str(tmp_path / "m1"),
           knn_train_unroll="1", **kwargs)
@@ -308,18 +319,28 @@ def test_knn_train_unroll_auto_marker(tmp_path, monkeypatch):
     # a DIFFERENT config (other k) stays cold
     other = cc.warm_key("train-unroll", 3, 32, 5, 4, 32, 0.5, "xla", None,
                         None, 2, 1, False, True, False, (), False, 0.001,
-                        0.9, "cos", 1, 1, 8, False, 1, False)
+                        0.9, "cos", 1, 1, 8, False, 1, False,
+                        2048, 4096, False)
     assert not cc.is_warm(other)
+    # graph-construction knobs are part of the key too: the share3
+    # program (2 kNN calls vs 3) must not inherit the default's marker
+    share3 = cc.warm_key("train-unroll", 2, 32, 5, 4, 32, 0.5, "xla", None,
+                         None, 2, 1, False, True, False, (), False, 0.001,
+                         0.9, "cos", 1, 1, 8, False, 1, False,
+                         2048, 4096, True)
+    assert not cc.is_warm(share3)
     # and the auto run trains fine (resolves the marker internally)
     train(2, io, model_root=str(tmp_path / "m2"),
           knn_train_unroll="auto", **kwargs)
 
 
 def test_flattened_optimizer_matches_per_leaf():
-    """make_optimizer(flatten=True) (the default) must match the per-leaf
-    chain: every transform is elementwise, so the concatenated-vector
-    update is the same arithmetic per element (up to 1-ulp XLA fusion
-    differences). Two Adam steps; losses exactly equal, params to 1 ulp."""
+    """make_optimizer(flatten=True) (an opt-in knob — the default stays
+    flatten=False because True changes the opt_state checkpoint layout)
+    must match the per-leaf chain: every transform is elementwise, so the
+    concatenated-vector update is the same arithmetic per element (up to
+    1-ulp XLA fusion differences). Two Adam steps; losses exactly equal,
+    params to 1 ulp."""
     pts, labels, mask = _batch(3)
     trajs = []
     for flat in (True, False):
