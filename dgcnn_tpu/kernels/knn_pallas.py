@@ -1005,14 +1005,26 @@ def knn_pallas_banded(
         fail = ~cert                                     # (B, n) bool
         counts = jnp.sum(fail, axis=1)
         r_budget = min(repair_budget, n)
-        vals, pos = jax.lax.top_k(fail.astype(jnp.int32), r_budget)
-        qf = jnp.take_along_axis(x, pos[..., None], axis=1)  # (B, R, C)
-        rep = knn_pallas(x, k, packed=False, interpret=interpret,
-                         queries=qf)                     # f32-exact
-        cur = jnp.take_along_axis(idx, pos[..., None], axis=1)
-        new = jnp.where(vals[..., None] > 0, rep, cur)
-        bi = jnp.arange(b)[:, None]
-        repaired = idx.at[bi, pos].set(new)
+
+        def _no_fail(_):
+            return idx
+
+        def _do_repair(_):
+            # top_k over the fail flags + an exact queries-kNN are ~1 ms
+            # of glue per call; on realistic tiles most calls certify
+            # every query, so this whole branch is runtime-skipped
+            # (repair is an identity when nothing failed, so the cond is
+            # bit-exact — scripts/exp_knn_floor3.py measured the saving)
+            vals, pos = jax.lax.top_k(fail.astype(jnp.int32), r_budget)
+            qf = jnp.take_along_axis(x, pos[..., None], axis=1)  # (B,R,C)
+            rep = knn_pallas(x, k, packed=False, interpret=interpret,
+                             queries=qf)                 # f32-exact
+            cur = jnp.take_along_axis(idx, pos[..., None], axis=1)
+            new = jnp.where(vals[..., None] > 0, rep, cur)
+            bi = jnp.arange(b)[:, None]
+            return idx.at[bi, pos].set(new)
+
+        repaired = jax.lax.cond(jnp.any(fail), _do_repair, _no_fail, None)
         return jax.lax.cond(
             jnp.all(counts <= r_budget), lambda _: repaired, _capped, None
         )
