@@ -45,9 +45,12 @@ def _pick_unroll(rows: int, want: int) -> int:
 
 def _env_tiles(qt: int, unroll: int) -> tuple[int, int]:
     """DGCNN_STAGE_QT / DGCNN_STAGE_UNROLL override the v5e-measured
-    defaults — the retuning escape hatch for other TPU generations
-    (sweep with scripts/exp_stage_unroll4.py's full-forward A/B; kernel-
-    level sub-ms timings are unreliable through a tunnelled chip)."""
+    defaults — the retuning escape hatch for other TPU generations.
+    Sweep with scripts/exp_stage_sweep_precise.py (reps-in-jit standalone
+    kernels on REAL indices, ~0.05 ms sensitivity), then guard any winner
+    with the full-forward A/B (exp_stage_tiles_ab.py) — single-call
+    sub-ms timings through a tunnelled chip are unreliable, and full-
+    forward A/B alone cannot resolve <1.5 ms kernel deltas."""
     import os
 
     return (int(os.environ.get("DGCNN_STAGE_QT", qt)),
@@ -89,8 +92,8 @@ def edgeconv_fused_stage(
     scale_a: jax.Array, shift_a: jax.Array,   # folded eval BN after conv a
     scale_b: jax.Array, shift_b: jax.Array,   # folded eval BN after conv b
     *,
-    qt: int = 128,
-    unroll: int = 16,
+    qt: int = 64,
+    unroll: int = 32,
     interpret: bool | None = None,
 ) -> jax.Array:
     """max_k(act(BNb(W2 @ act(BNa(table[idx] + bvec))))) -> (B, N, C2),
@@ -164,7 +167,7 @@ def edgeconv_fused_extrema(
     scale: jax.Array, shift: jax.Array,       # folded eval BN
     *,
     qt: int = 128,
-    unroll: int = 16,
+    unroll: int = 32,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Stage-3 fused: act(BN(select_by_sign(gamma, max_k, min_k of
