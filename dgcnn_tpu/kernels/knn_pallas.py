@@ -910,6 +910,7 @@ def knn_pallas_banded(
     band: int = 3072,
     n_win: int = 32,
     cap: int = 8,
+    capped_cap: "int | None" = None,
     repair_budget: int = 256,
     query_tile: int | None = None,
     unroll_cap: int = 0,
@@ -951,7 +952,8 @@ def knn_pallas_banded(
     if n_pad <= band or band - (n_pad - n) < k:
         # nothing to band (or too few real rows per band): the flat
         # capped kernel is the right tool at these sizes
-        return knn_pallas(x, k, packed=True, cap=cap,
+        return knn_pallas(x, k, packed=True,
+                          cap=cap if capped_cap is None else capped_cap,
                           unroll_cap=min(unroll_cap, 1),
                           unroll_merge=unroll_merge, interpret=interpret)
     if query_tile is None:
@@ -968,7 +970,8 @@ def knn_pallas_banded(
     sorted_ok = jnp.all(x0[:, 1:] >= x0[:, :-1])
 
     def _capped(_):
-        return knn_pallas(x, k, packed=True, cap=cap,
+        return knn_pallas(x, k, packed=True,
+                          cap=cap if capped_cap is None else capped_cap,
                           unroll_cap=min(unroll_cap, 1),
                           unroll_merge=unroll_merge, interpret=interpret)
 
@@ -1040,6 +1043,7 @@ def knn_pallas_feature_banded(
     band: int = 4096,
     n_win: int = 32,
     cap: int = 8,
+    capped_cap: "int | None" = None,
     query_tile: int | None = None,
     unroll_cap: int = 0,
     unroll_merge: int = 0,
@@ -1082,7 +1086,8 @@ def knn_pallas_feature_banded(
             f"extraction capacity n_win*cap={n_win * cap} < k={k}")
     n_pad = _round_up(n, 128)
     if n_pad <= band or band - (n_pad - n) < k:
-        return knn_pallas(x, k, packed=True, cap=cap,
+        return knn_pallas(x, k, packed=True,
+                          cap=cap if capped_cap is None else capped_cap,
                           unroll_cap=min(unroll_cap, 1),
                           unroll_merge=unroll_merge, interpret=interpret)
     if query_tile is None:
@@ -1091,7 +1096,8 @@ def knn_pallas_feature_banded(
     x = jax.lax.stop_gradient(x)
 
     def _capped(_):
-        return knn_pallas(x, k, packed=True, cap=cap,
+        return knn_pallas(x, k, packed=True,
+                          cap=cap if capped_cap is None else capped_cap,
                           unroll_cap=min(unroll_cap, 1),
                           unroll_merge=unroll_merge, interpret=interpret)
 

@@ -76,6 +76,20 @@ class DGCNNConfig:
     # kernels/knn_pallas.py). 8 = measured bit-identical to flat packed
     # at production shapes.
     knn_cap: int = 8
+    # (cap, n_win) for the BANDED kernels only (stage-1 + feature bands,
+    # kernels/knn_pallas.py::_knn_kernel_banded). Their windows are
+    # band/n_win rows wide, so the Poisson tail differs from the capped
+    # kernel's 256-row windows: at (6, 64) lambda = k/n_win = 0.47,
+    # tail ~4e-5/query — the same loss class as (8, 32)'s ~2e-5 and the
+    # capped kernel's own ~5e-5, with 25% fewer extraction passes.
+    # Precise standalone sweep: 1.72 vs 1.86 ms per feature-band call
+    # (scripts/exp_knn_sweep_precise.py); trained argmax agreement
+    # IDENTICAL to (8, 32) at 0.999982 (scripts/exp_cap_nwin.py).
+    # (4, 128) is faster still (1.60) but its tail is 6e-4/query —
+    # outside the evidence class, rejected. The capped kernel keeps
+    # cfg.knn_cap=8 (cap=6 on 256-row windows would be ~3e-3/query).
+    knn_band_cap: int = 6
+    knn_band_nwin: int = 64
     # python-unroll the capped kernel's cap loop in TRAIN mode too
     # (~1.5 ms faster per kNN, but ~10 min of one-time Mosaic compile
     # inside the train program — worthwhile once the persistent
@@ -191,6 +205,11 @@ class DGCNNConfig:
             raise ValueError(
                 f"fuse_epilogue {self.fuse_epilogue!r} must be "
                 "True, False or 'auto'")
+        if (self.knn_band or self.knn_band_feature) and (
+                self.knn_band_cap * self.knn_band_nwin < self.k):
+            raise ValueError(
+                f"banded extraction capacity knn_band_cap*knn_band_nwin="
+                f"{self.knn_band_cap * self.knn_band_nwin} < k={self.k}")
         if (not isinstance(self.knn_band, int)
                 or isinstance(self.knn_band, bool)
                 or self.knn_band < 0 or self.knn_band % 256):
@@ -392,7 +411,8 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
 
         return checkpoint_name(
             knn_pallas_banded(
-                x, cfg.k, band=cfg.knn_band, cap=cfg.knn_cap,
+                x, cfg.k, band=cfg.knn_band, cap=cfg.knn_band_cap,
+                n_win=cfg.knn_band_nwin, capped_cap=cfg.knn_cap,
                 unroll_cap=(0 if (not train or cfg.knn_train_unroll)
                             else 1),
             ),
@@ -411,7 +431,8 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
         return checkpoint_name(
             knn_pallas_feature_banded(
                 x, cfg.k, sorted_ok=sorted_ok,
-                band=cfg.knn_band_feature, cap=cfg.knn_cap,
+                band=cfg.knn_band_feature, cap=cfg.knn_band_cap,
+                n_win=cfg.knn_band_nwin, capped_cap=cfg.knn_cap,
                 unroll_cap=(0 if (not train or cfg.knn_train_unroll)
                             else 1),
             ),

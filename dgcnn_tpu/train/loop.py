@@ -176,6 +176,7 @@ def train(
         len(jax.devices()), data_parallel, tensor_parallel, use_all_points,
         # graph-construction knobs change the traced kNN program too
         cfg.knn_band, cfg.knn_band_feature, cfg.knn_share_stage3,
+        cfg.knn_band_cap, cfg.knn_band_nwin,
     )
     if knn_train_unroll == "auto":
         knn_train_unroll = is_warm(unroll_key)
