@@ -108,6 +108,8 @@ def predict(
     knn_impl: str = "auto",
     knn_band: int | None = None,
     knn_band_feature: int | None = None,
+    knn_band_recall_guard: int | None = None,
+    knn_band_recall_threshold: float | None = None,
     knn_share_stage3: bool = False,
     compute_dtype: str | None = None,
     matmul_precision: str | None = None,
@@ -150,6 +152,10 @@ def predict(
         **({} if knn_band is None else {"knn_band": knn_band}),
         **({} if knn_band_feature is None
            else {"knn_band_feature": knn_band_feature}),
+        **({} if knn_band_recall_guard is None
+           else {"knn_band_recall_guard": knn_band_recall_guard}),
+        **({} if knn_band_recall_threshold is None
+           else {"knn_band_recall_threshold": knn_band_recall_threshold}),
         **({} if ring_band_shards is None
            else {"ring_band_shards": ring_band_shards}),
         knn_share_stage3=bool(knn_share_stage3),

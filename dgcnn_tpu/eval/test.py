@@ -104,6 +104,8 @@ def test(
     knn_impl: str = "auto",
     knn_band: int | None = None,
     knn_band_feature: int | None = None,
+    knn_band_recall_guard: int | None = None,
+    knn_band_recall_threshold: float | None = None,
     knn_share_stage3: bool = False,
     compute_dtype: str | None = None,
     matmul_precision: str | None = None,
@@ -120,6 +122,10 @@ def test(
         **({} if knn_band is None else {"knn_band": knn_band}),
         **({} if knn_band_feature is None
            else {"knn_band_feature": knn_band_feature}),
+        **({} if knn_band_recall_guard is None
+           else {"knn_band_recall_guard": knn_band_recall_guard}),
+        **({} if knn_band_recall_threshold is None
+           else {"knn_band_recall_threshold": knn_band_recall_threshold}),
         knn_share_stage3=bool(knn_share_stage3),
     )
     dataset = FugroDataset(
@@ -294,6 +300,10 @@ def test_args(args, io: IOStream) -> dict:
             knn_impl=getattr(args, "knn_impl", "auto"),
             knn_band=getattr(args, "knn_band", None),
             knn_band_feature=getattr(args, "knn_band_feature", None),
+            knn_band_recall_guard=getattr(
+                args, "knn_band_recall_guard", None),
+            knn_band_recall_threshold=getattr(
+                args, "knn_band_recall_threshold", None),
             knn_share_stage3=getattr(args, "knn_share_stage3", False),
             compute_dtype=getattr(args, "compute_dtype", None),
             matmul_precision=getattr(args, "matmul_precision", None),
@@ -319,6 +329,9 @@ def test_args(args, io: IOStream) -> dict:
         knn_impl=getattr(args, "knn_impl", "auto"),
         knn_band=getattr(args, "knn_band", None),
         knn_band_feature=getattr(args, "knn_band_feature", None),
+        knn_band_recall_guard=getattr(args, "knn_band_recall_guard", None),
+        knn_band_recall_threshold=getattr(
+            args, "knn_band_recall_threshold", None),
         knn_share_stage3=getattr(args, "knn_share_stage3", False),
         compute_dtype=getattr(args, "compute_dtype", None),
         matmul_precision=getattr(args, "matmul_precision", None),

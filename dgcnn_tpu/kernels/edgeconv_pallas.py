@@ -65,7 +65,8 @@ from dgcnn_tpu.kernels.gather_pallas import (  # noqa: E402
 
 
 def _stage_kernel(idx_ref, table_ref, b_ref, w2_ref, sa_ref, ta_ref,
-                  sb_ref, tb_ref, out_ref, g_scr, *, qt, k, unroll):
+                  sb_ref, tb_ref, out_ref, g_scr, *, qt, k, unroll,
+                  bf16_mm=False):
     rows = qt * k
     _gather_to_scratch(idx_ref, table_ref, g_scr, rows, unroll)
     g = g_scr[:].reshape(qt, k, -1)
@@ -73,8 +74,15 @@ def _stage_kernel(idx_ref, table_ref, b_ref, w2_ref, sa_ref, ta_ref,
     e = e * sa_ref[0][None, None, :] + ta_ref[0][None, None, :]
     e = jnp.where(e >= 0, e, _SLOPE * e)
     c = e.shape[-1]
+    lhs = e.reshape(rows, c)
+    w2 = w2_ref[:]
+    if bf16_mm:
+        # compute_dtype="bfloat16" semantics: the second conv's operands
+        # in bf16, f32 accumulation — mirrors _mm()/edge_conv_linear's
+        # cast-then-einsum so the fused path matches the XLA chain
+        lhs, w2 = lhs.astype(jnp.bfloat16), w2.astype(jnp.bfloat16)
     h = jax.lax.dot_general(
-        e.reshape(rows, c), w2_ref[:],
+        lhs, w2,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -83,7 +91,8 @@ def _stage_kernel(idx_ref, table_ref, b_ref, w2_ref, sa_ref, ta_ref,
     out_ref[0] = jnp.max(h.reshape(qt, k, -1), axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("qt", "unroll", "interpret"))
+@functools.partial(jax.jit, static_argnames=("qt", "unroll", "interpret",
+                                              "bf16_mm"))
 def edgeconv_fused_stage(
     table: jax.Array,        # (B, N, C) first-conv point activations a=x@W_d
     idx: jax.Array,          # (B, N, k) int32 neighbour indices
@@ -95,9 +104,13 @@ def edgeconv_fused_stage(
     qt: int = 64,
     unroll: int = 32,
     interpret: bool | None = None,
+    bf16_mm: bool = False,
 ) -> jax.Array:
     """max_k(act(BNb(W2 @ act(BNa(table[idx] + bvec))))) -> (B, N, C2),
-    gathering inside the kernel (the (B,N,k,C) tensor never hits HBM)."""
+    gathering inside the kernel (the (B,N,k,C) tensor never hits HBM).
+    ``bf16_mm`` runs the second conv with bf16 operands (f32 accumulate)
+    — the ``compute_dtype="bfloat16"`` semantics; everything else in the
+    stage (gather, add, BN, LReLU, max) is elementwise f32 either way."""
     # env overrides resolve at trace time — set them before first use
     # (the jit cache is keyed on the passed qt/unroll, not the env)
     qt, unroll = _env_tiles(qt, unroll)
@@ -119,7 +132,8 @@ def edgeconv_fused_stage(
         return v.reshape(1, -1).astype(jnp.float32)
 
     out = pl.pallas_call(
-        functools.partial(_stage_kernel, qt=qt, k=k, unroll=unroll),
+        functools.partial(_stage_kernel, qt=qt, k=k, unroll=unroll,
+                          bf16_mm=bf16_mm),
         grid=(b, nq),
         in_specs=[
             pl.BlockSpec((1, 1, qt * k),

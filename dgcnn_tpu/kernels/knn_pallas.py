@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -391,7 +392,7 @@ def _knn_kernel_packed_capped(
 def _knn_kernel_banded(
     start_ref, x_ref, q_ref, cnorm_ref, idx_ref, key_ref, packed_scr,
     win_scr, *, band, n_win, cap, k_pad, n_pad, k_real, idx_bits,
-    unroll_cap=0, unroll_merge=0, study=None,
+    unroll_cap=0, unroll_merge=0, study=None, hi_prec=False,
 ):
     """Banded capped extraction for SORTED point clouds (stage-1 kNN).
 
@@ -441,10 +442,17 @@ def _knn_kernel_banded(
         ) - cnb
         scores = scores - jnp.sum(q * q, axis=1)[None, :]
     else:
+        # hi_prec (stage-1 spatial): the band-edge CERTIFICATE's
+        # soundness needs f32-class scores — the TPU default truncates
+        # f32 operands to bf16, rel error ~2^-9 >> the one-quantum
+        # certificate margin (scripts/exp_dot_precision_probe.py). The
+        # c_pad=8 dot makes HIGHEST ~free there. Feature-space callers
+        # (c_pad=64, uncertified, recall-guarded) keep the default.
         scores = 2.0 * jax.lax.dot_general(
             xb, q,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST if hi_prec else None),
         ) - cnb                                       # (band, qt)
         scores = scores - jnp.sum(q * q, axis=1)[None, :]
     if study == "score_only":
@@ -540,6 +548,140 @@ def _knn_kernel_banded(
             )
 
 
+def _knn_kernel_exact_banded(
+    start_ref, x_ref, q_ref, cnorm_ref, idx_ref, kth_ref, ovf_ref,
+    key_scr, wkey_scr, wrow_scr, *, band, n_win, cap, k_pad, k_real,
+    unroll_cap=0, unroll_merge=0,
+):
+    """Banded f32-EXACT capped extraction — the bit-exact production path.
+
+    Same band/window layout as :func:`_knn_kernel_banded`, but selection
+    is exact: keys are the order-EXACT monotone int32 transform of the
+    f32 scores (no quantization, no packed index bits), per-window
+    extraction resolves the winning row with an explicit tie plane
+    (lowest row among equal scores — ``lax.top_k`` order,
+    /root/reference/model.py:25-40 semantics) and knocks out exactly that
+    row, and the merge is exactly lexicographic on (score desc, row asc).
+
+    Hidden-candidate certification is built in: a window that still holds
+    an unextracted in-band candidate can only hide rows whose key is <=
+    its cap-th winner, so ``ovf_ref`` flags every query whose k-th global
+    winner does NOT strictly beat every window's cap-th winner. Flagged
+    queries are re-solved f32-exactly by the caller
+    (:func:`knn_pallas_exact`); certified rows are bit-identical to
+    ``lax.top_k`` over the same scores. The out-of-band (band-edge)
+    certificate also lives in the caller — ``kth_ref`` carries each
+    query's k-th winner key for it.
+
+    Scores are ``2 q.c - |c|^2`` exactly as the flat kernels and the XLA
+    reference compute them (ops/knn.py drops the row-constant ``-|q|^2``;
+    no per-query recentering here — exactness requires the very same f32
+    values ``lax.top_k`` would rank).
+    """
+    start = start_ref[0, 0, 0]
+    q = q_ref[0]
+    qt = q.shape[0]
+    xb = x_ref[0, pl.dslice(start, band), :]           # (band, c_pad)
+    cnb = cnorm_ref[0, pl.dslice(start, band), :]      # (band, 1)
+    # The dot MUST run in the reference q-major orientation (einsum
+    # 'qc,nc->qn', ops/knn.py::_knn_scores): the n-major orientation
+    # diverges by 1 ulp on ~4e-5 of scores under XLA-CPU (interpret
+    # tests), flipping near-tie orderings vs lax.top_k. The int32 keys
+    # are then transposed into the windowed (band, qt) layout — Mosaic
+    # lowers the 2-D transpose (scripts/exp_transpose_probe.py: lowered
+    # + bit-exact at (512, 2048) i32 on v5e).
+    scores = 2.0 * jax.lax.dot_general(
+        q, xb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # HIGHEST is load-bearing: the TPU's DEFAULT matmul precision
+        # truncates f32 operands to bf16 (measured 4.3e-3 max rel score
+        # error — scripts/exp_dot_precision_probe.py), which flips real
+        # rankings; HIGHEST is f32-class (1.8e-7) and bit-matches the
+        # XLA reference einsum at the same precision
+        precision=jax.lax.Precision.HIGHEST,
+    ) - cnb[:, 0][None, :]                             # (qt, band)
+    bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    key = jnp.where(bits >= 0, bits, jnp.int32(-0x80000000) - bits)
+    key = jnp.swapaxes(key, 0, 1)                      # (band, qt)
+    w_sz = band // n_win
+    key_scr[:] = key.reshape(w_sz, n_win, qt)
+    # entry [s, w, q] holds in-band row r = s*n_win + w; rev = band-1-r
+    # so a max over equal scores picks the LOWEST row (top_k tie order).
+    # rev >= 0 for real entries; the tie plane's miss value is -1.
+    r_s = jax.lax.broadcasted_iota(jnp.int32, (w_sz, n_win, qt), 0)
+    r_w = jax.lax.broadcasted_iota(jnp.int32, (w_sz, n_win, qt), 1)
+    rev = jnp.int32(band - 1) - (r_s * n_win + r_w)
+    # knockout value: INT_MIN ranks strictly below every real key, and
+    # below key(-inf) = INT_MIN - bits(-inf) (the padded-row score)
+    knock = jnp.int32(-0x80000000)
+
+    if unroll_cap == 0:
+        for j in range(cap):
+            ks = key_scr[:]
+            m = jnp.max(ks, axis=0, keepdims=True)      # (1, n_win, qt)
+            rv = jnp.max(jnp.where(ks == m, rev, jnp.int32(-1)),
+                         axis=0, keepdims=True)
+            wkey_scr[pl.dslice(j, 1), :, :] = m
+            wrow_scr[pl.dslice(j, 1), :, :] = rv
+            key_scr[:] = jnp.where(rev == rv, knock, ks)
+    else:
+        u = unroll_cap if cap % unroll_cap == 0 else 1
+
+        def body(i, _):
+            base = i * u
+            for t_off in range(u):
+                ks = key_scr[:]
+                m = jnp.max(ks, axis=0, keepdims=True)
+                rv = jnp.max(jnp.where(ks == m, rev, jnp.int32(-1)),
+                             axis=0, keepdims=True)
+                wkey_scr[pl.dslice(base + t_off, 1), :, :] = m
+                wrow_scr[pl.dslice(base + t_off, 1), :, :] = rv
+                key_scr[:] = jnp.where(rev == rv, knock, ks)
+            return ()
+
+        jax.lax.fori_loop(0, cap // u, body, (), unroll=False)
+
+    # cap-th winner per window, saved before the merge knocks entries out:
+    # hidden in-window candidates are all <= it
+    capmax = jnp.max(wkey_scr[pl.dslice(cap - 1, 1), :, :],
+                     axis=1, keepdims=True)             # (1, 1, qt)
+
+    # Merge: global top-k over the (cap, n_win, qt) winners, exactly
+    # lexicographic — max key, then lowest row among key ties. Winner rows
+    # are globally unique (each in-band row wins at most once), so the
+    # knockout keys purely on the row plane.
+    def merge_step(j_store, _):
+        wk = wkey_scr[:]
+        m = jnp.max(jnp.max(wk, axis=0, keepdims=True),
+                    axis=1, keepdims=True)              # (1, 1, qt)
+        rv = jnp.max(
+            jnp.max(jnp.where(wk == m, wrow_scr[:], jnp.int32(-1)),
+                    axis=0, keepdims=True),
+            axis=1, keepdims=True)                      # (1, 1, qt)
+        col = start + jnp.int32(band - 1) - rv
+        idx_ref[0, j_store, :] = col[0]
+        wkey_scr[:] = jnp.where(wrow_scr[:] == rv, knock, wk)
+        return m
+
+    if unroll_merge == 0:
+        m = None
+        for j in range(k_real):
+            m = merge_step(pl.dslice(j, 1), None)
+    else:
+        m = jax.lax.fori_loop(
+            0, k_real,
+            lambda j, mm: merge_step(pl.dslice(j, 1), mm),
+            jnp.zeros((1, 1, qt), jnp.int32), unroll=unroll_merge)
+    if k_real < k_pad:
+        idx_ref[0, pl.dslice(k_real, k_pad - k_real), :] = jnp.zeros(
+            (k_pad - k_real, qt), jnp.int32)
+    kth_ref[0] = m[0]
+    # overflow: some window's cap-th winner is >= the k-th global winner —
+    # that window may hide better (or tie-displacing) candidates
+    ovf_ref[0] = (capmax >= m).astype(jnp.int32)[0]
+
+
 def _knn_kernel_packed(
     x_ref, q_ref, cnorm_ref, idx_ref, packed_scr, idx_scr, *, k_pad, n_pad,
     unroll=1, k_real=None, idx_bits=13,
@@ -625,6 +767,9 @@ def _knn_kernel(
         q, x,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # f32-exact claim needs HIGHEST: the TPU default truncates f32
+        # operands to bf16 (4.3e-3 rel — exp_dot_precision_probe.py)
+        precision=jax.lax.Precision.HIGHEST,
     ) - cnorm_ref[0]
     scores_scr[:] = scores
 
@@ -893,8 +1038,6 @@ def _knn_pallas_jit(
 # ------------------------------------------------------------- banded kNN
 def _band_starts(n_q_pad: int, qt: int, n_pad: int, band: int):
     """128-aligned band start row per query tile (static)."""
-    import numpy as np
-
     starts = []
     for i in range(n_q_pad // qt):
         raw = i * qt + qt // 2 - band // 2
@@ -979,7 +1122,7 @@ def knn_pallas_banded(
         idx, keys = _knn_banded_jit(
             x, k, band=band, n_win=n_win, cap=cap, query_tile=qt,
             unroll_cap=unroll_cap, unroll_merge=unroll_merge,
-            interpret=interpret,
+            interpret=interpret, hi_prec=True,
         )
         idx_bits = (band - 1).bit_length()
         imask = jnp.int32((1 << idx_bits) - 1)
@@ -1035,6 +1178,35 @@ def knn_pallas_banded(
     return jax.lax.cond(sorted_ok, _banded, _capped, None)
 
 
+def _feature_band_recall_warn(recall):
+    import sys
+
+    print(
+        f"[dgcnn_tpu] feature-band recall guard tripped: sampled recall "
+        f"{float(recall):.4f} below threshold — this batch fell back to "
+        "the full capped kNN kernel (feature ordering decorrelated from "
+        "the x-sort; see knn_pallas_feature_banded)",
+        file=sys.stderr,
+    )
+
+
+def _recall_warn_ok(interpret: bool) -> bool:
+    """Whether the guard may embed a jax.debug.callback warning.
+
+    The tunnelled axon PJRT backend (single-chip dev rig) does NOT
+    support host send/recv callbacks — one debug.callback in the graph
+    fails the whole forward at runtime (UNIMPLEMENTED). The fallback
+    itself (the actual protection) never needs the callback; the warning
+    is interpret-mode/CPU default, DGCNN_RECALL_WARN=1/0 overrides.
+    """
+    import os
+
+    v = os.environ.get("DGCNN_RECALL_WARN")
+    if v is not None:
+        return v == "1"
+    return interpret or jax.default_backend() != "tpu"
+
+
 def knn_pallas_feature_banded(
     x: jax.Array,
     k: int,
@@ -1047,6 +1219,8 @@ def knn_pallas_feature_banded(
     query_tile: int | None = None,
     unroll_cap: int = 0,
     unroll_merge: int = 0,
+    recall_guard: int = 256,
+    recall_threshold: float = 0.995,
     interpret: bool | None = None,
 ) -> jax.Array:
     """FEATURE-space kNN over spatially-ordered rows, banded UNcertified.
@@ -1073,6 +1247,18 @@ def knn_pallas_feature_banded(
     are x-sorted (the caller computes it from the coordinates; it cannot
     be derived from the feature table). False falls back to the full
     capped kernel at runtime.
+
+    Runtime RECALL guard (the self-defence the sortedness gate cannot
+    provide): ``recall_guard`` strided probe queries are re-solved with
+    the full capped kernel's ``queries`` variant each call, and the
+    sampled recall of those reference neighbours inside the banded
+    result gates a ``lax.cond`` fallback to the full capped kernel (plus
+    a host-side warning via ``jax.debug.callback`` where the backend
+    supports host callbacks — see :func:`_recall_warn_ok`). On geometry
+    where
+    x-order does NOT localise the feature graph (e.g. vertically-
+    dominant scenes) quality no longer degrades silently — the batch
+    pays the full-kernel cost instead. ``recall_guard=0`` disables.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1107,7 +1293,33 @@ def knn_pallas_feature_banded(
             unroll_cap=unroll_cap, unroll_merge=unroll_merge,
             interpret=interpret,
         )
-        return idx
+        if not recall_guard:
+            return idx
+        s = min(recall_guard, n)
+        # static strided probe rows (deterministic — no RNG in the graph)
+        pos = jnp.asarray(
+            np.linspace(0, n - 1, s).round().astype(np.int32))
+        qf = jnp.take(x, pos, axis=1)                    # (B, S, C)
+        ref = knn_pallas(
+            x, k, packed=True,
+            cap=cap if capped_cap is None else capped_cap,
+            unroll_cap=min(unroll_cap, 1), unroll_merge=unroll_merge,
+            interpret=interpret, queries=qf,
+        )                                                # (B, S, k)
+        got = jnp.take(idx, pos, axis=1)                 # (B, S, k)
+        hit = jnp.any(ref[..., :, None] == got[..., None, :], axis=-1)
+        recall = jnp.mean(hit.astype(jnp.float32))
+
+        def _keep(_):
+            return idx
+
+        def _fall(_):
+            if _recall_warn_ok(interpret):
+                jax.debug.callback(_feature_band_recall_warn, recall)
+            return _capped(None)
+
+        return jax.lax.cond(
+            recall >= jnp.float32(recall_threshold), _keep, _fall, None)
 
     return jax.lax.cond(sorted_ok, _banded, _capped, None)
 
@@ -1115,7 +1327,8 @@ def knn_pallas_feature_banded(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "band", "n_win", "cap", "query_tile",
-                     "unroll_cap", "unroll_merge", "interpret", "study"),
+                     "unroll_cap", "unroll_merge", "interpret", "study",
+                     "hi_prec"),
 )
 def _knn_banded_jit(
     x: jax.Array,
@@ -1129,6 +1342,7 @@ def _knn_banded_jit(
     unroll_merge: int = 0,
     interpret: bool = False,
     study: str | None = None,
+    hi_prec: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Raw banded kernel: ((B, N, k) indices, (B, N) k-th packed keys).
 
@@ -1158,7 +1372,7 @@ def _knn_banded_jit(
     kernel = functools.partial(
         _knn_kernel_banded, band=band, n_win=n_win, cap=cap, k_pad=k_pad,
         n_pad=n_pad, k_real=k, idx_bits=idx_bits, unroll_cap=unroll_cap,
-        unroll_merge=unroll_merge, study=study,
+        unroll_merge=unroll_merge, study=study, hi_prec=hi_prec,
     )
     nq = n_q_pad // qt
     idx_out, key_out = pl.pallas_call(
@@ -1195,3 +1409,262 @@ def _knn_banded_jit(
     )(starts, xp, qp, cnorm[:, :, None])
     idx = jnp.swapaxes(idx_out, 1, 2)[:, :n, :k]
     return idx, key_out[:, 0, :n]
+
+
+# --------------------------------------------------------- f32-exact banded
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "band", "n_win", "cap", "query_tile",
+                     "unroll_cap", "unroll_merge", "interpret"),
+)
+def _knn_exact_jit(
+    x: jax.Array,
+    k: int,
+    *,
+    band: int,
+    n_win: int,
+    cap: int,
+    query_tile: int,
+    unroll_cap: int = 0,
+    unroll_merge: int = 0,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Raw f32-exact banded kernel.
+
+    Returns ``(idx (B,N,k), kth_key (B,N) int32, ovf (B,N) int32)`` —
+    kth_key is the exact monotone-int transform of each query's k-th
+    winner score (for the caller's band-edge certificate), ovf flags
+    queries whose certification against hidden in-window candidates
+    failed (see :func:`_knn_kernel_exact_banded`).
+    """
+    b, n, c = x.shape
+    n_pad = _round_up(n, 128)
+    c_pad = max(_round_up(c, 8), 8)
+    k_pad = _round_up(k, 8)
+    qt = query_tile
+    n_q_pad = _round_up(n, qt)
+
+    xf = x.astype(jnp.float32)
+    xp = jnp.pad(xf, ((0, 0), (0, n_pad - n), (0, c_pad - c)))
+    qp = jnp.pad(xf, ((0, 0), (0, n_q_pad - n), (0, c_pad - c)))
+    cnorm = jnp.sum(xp * xp, axis=-1)                    # (B, N_pad)
+    cnorm = jnp.where(jnp.arange(n_pad)[None, :] >= n, jnp.inf, cnorm)
+    starts = jnp.asarray(
+        _band_starts(n_q_pad, qt, n_pad, band), jnp.int32
+    ).reshape(-1, 1, 1)
+
+    kernel = functools.partial(
+        _knn_kernel_exact_banded, band=band, n_win=n_win, cap=cap,
+        k_pad=k_pad, k_real=k, unroll_cap=unroll_cap,
+        unroll_merge=unroll_merge,
+    )
+    nq = n_q_pad // qt
+    idx_out, kth_out, ovf_out = pl.pallas_call(
+        kernel,
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda bi, qi: (qi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_pad, c_pad), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qt, c_pad), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 1), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k_pad, qt), lambda bi, qi: (bi, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, qt), lambda bi, qi: (bi, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, qt), lambda bi, qi: (bi, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k_pad, n_q_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, n_q_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, n_q_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((band // n_win, n_win, qt), jnp.int32),
+            pltpu.VMEM((cap, n_win, qt), jnp.int32),
+            pltpu.VMEM((cap, n_win, qt), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+        ),
+        interpret=interpret,
+    )(starts, xp, qp, cnorm[:, :, None])
+    idx = jnp.swapaxes(idx_out, 1, 2)[:, :n, :k]
+    return idx, kth_out[:, 0, :n], ovf_out[:, 0, :n]
+
+
+def _key_to_f32(key: jax.Array) -> jax.Array:
+    """Invert the monotone int32 key transform back to the f32 score
+    (the transform is an involution on the int32 bit pattern)."""
+    bits = jnp.where(key >= 0, key, jnp.int32(-0x80000000) - key)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def knn_pallas_exact(
+    x: jax.Array,
+    k: int,
+    *,
+    band: int = 2048,
+    n_win: int = 64,
+    cap: int = 8,
+    repair_budget: int = 256,
+    query_tile: int | None = None,
+    unroll_cap: int = 0,
+    unroll_merge: int = 0,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Bit-exact kNN at capped-extraction speed (the parity-mode kernel).
+
+    Indices are IDENTICAL to ``lax.top_k`` over the reference scores
+    ``2 q.c - |c|^2`` (/root/reference/model.py:25-40 semantics, ties to
+    the lower index) on every input — the speed of the capped/banded
+    machinery with none of its approximation:
+
+    * On x-SORTED inputs (the production block order) each query tile
+      scores only a ``band``-row window (like :func:`knn_pallas_banded`)
+      and every query is certified against the sorted-order band-edge
+      distance bound in f32, with an fp-error margin ~2^-13 of the data's
+      norm scale (vs actual MXU/dot error <~2^-20 — conservative: a too-
+      tight margin could hide a true out-of-band neighbour, a loose one
+      only adds repairs).
+    * On ANY input (sorted or not) the per-window top-``cap`` extraction
+      is certified against hidden in-window candidates by the kernel
+      itself (a window whose cap-th winner ties-or-beats the global k-th
+      may hide better rows — see :func:`_knn_kernel_exact_banded`).
+    * Queries failing either certificate are re-solved with the f32-exact
+      flat kernel (the ``queries`` variant); more than ``repair_budget``
+      failures in any batch element falls back to the full flat kernel.
+      Every path is exact, so the result is exact unconditionally.
+
+    Unsorted inputs skip the banding (no sorted-order bound exists) and
+    run the same kernel at full width — the window-overflow certificate
+    needs no ordering. ``band=0`` forces full width (feature-space
+    stages 2-3 use this: no sound feature-distance band bound exists).
+
+    Exactness caveat (score computation, not selection): selection and
+    tie order are bit-identical to ``lax.top_k`` over THIS kernel's f32
+    scores unconditionally, and the distance dot runs at
+    ``Precision.HIGHEST`` (the TPU DEFAULT truncates f32 operands to
+    bf16 — 4.3e-3 rel score error, which flipped real rankings;
+    scripts/exp_dot_precision_probe.py). What remains is cross-program
+    f32 accumulation-order noise vs the XLA einsum: measured on TPU at
+    the production shape (B=8, N=7000, k=30), 104 of 1.68M index
+    entries differ from ops/knn.py's top_k, every one an exact near-tie
+    (f64 rel gap <= 2.5e-7 ~ 1-2 f32 ulp — scripts/
+    exp_exact_knn_diag.py); wherever the dot is fp-exact (grid-quantized
+    coords, the CPU test construction) agreement is bitwise.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, c = x.shape
+    if k > n:
+        raise ValueError(f"k={k} exceeds number of points {n}")
+    if band and (band % 128 or band % n_win):
+        raise ValueError("band must be a multiple of 128 and of n_win")
+    if n_win * cap < k:
+        raise ValueError(
+            f"extraction capacity n_win*cap={n_win * cap} < k={k}")
+    n_pad = _round_up(n, 128)
+    x = jax.lax.stop_gradient(x)
+
+    def _flat(_=None):
+        return knn_pallas(x, k, packed=False, interpret=interpret)
+
+    # full-width band: the whole padded table as one band (the reshape
+    # round-robins rows across windows; no certificate against out-of-
+    # band rows is needed because there are none)
+    full_band = n_pad
+    if full_band % n_win or (full_band // n_win) * cap < k or n < 2 * k:
+        # too small to window — the flat kernel is cheap there anyway
+        return _flat()
+    vmem_budget = _vmem_budget_bytes()
+    if query_tile is None:
+        query_tile = 512 if max(band, 1) <= 2048 else 256
+    qt = query_tile
+    scr_bytes = (full_band + 2 * cap * n_win) * 4
+    while qt > 64 and qt * scr_bytes > vmem_budget:
+        qt //= 2
+    if qt * scr_bytes > vmem_budget:
+        from dgcnn_tpu.ops.knn import knn as knn_xla
+
+        return knn_xla(x, k, query_chunk=1024)
+    qt = min(qt, n_pad)
+
+    banded_ok = (band and n_pad > band
+                 and band - (n_pad - n) >= k)
+    x0 = x[..., 0].astype(jnp.float32)
+
+    def _repair(idx, fail, counts):
+        """Re-solve failed queries f32-exactly; over-budget batch elems
+        fall back to the flat exact kernel wholesale."""
+        r_budget = min(repair_budget, n)
+
+        def _no_fail(_):
+            return idx
+
+        def _do_repair(_):
+            vals, pos = jax.lax.top_k(fail.astype(jnp.int32), r_budget)
+            qf = jnp.take_along_axis(x, pos[..., None], axis=1)
+            rep = knn_pallas(x, k, packed=False, interpret=interpret,
+                             queries=qf)
+            cur = jnp.take_along_axis(idx, pos[..., None], axis=1)
+            new = jnp.where(vals[..., None] > 0, rep, cur)
+            bi = jnp.arange(b)[:, None]
+            return idx.at[bi, pos].set(new)
+
+        repaired = jax.lax.cond(jnp.any(fail), _do_repair, _no_fail, None)
+        return jax.lax.cond(
+            jnp.all(counts <= r_budget), lambda _: repaired, _flat, None)
+
+    def _full(_):
+        idx, kth, ovf = _knn_exact_jit(
+            x, k, band=full_band, n_win=n_win, cap=cap, query_tile=qt,
+            unroll_cap=unroll_cap, unroll_merge=unroll_merge,
+            interpret=interpret,
+        )
+        fail = ovf > 0
+        return _repair(idx, fail, jnp.sum(fail, axis=1))
+
+    if not banded_ok:
+        return _full(None)
+
+    def _banded(_):
+        idx, kth, ovf = _knn_exact_jit(
+            x, k, band=band, n_win=n_win, cap=cap, query_tile=qt,
+            unroll_cap=unroll_cap, unroll_merge=unroll_merge,
+            interpret=interpret,
+        )
+        # band-edge certificate, in f32 score space: an out-of-band
+        # candidate's computed score is <= -gap^2 + |q|^2 up to fp error
+        # (scores here are 2q.c - |c|^2 = -d^2 + |q|^2 in real
+        # arithmetic); require the k-th winner to beat that bound by a
+        # margin covering the dot's fp error (default TPU f32 matmul
+        # error <~2^-20 relative to the norm scale; margin 2^-13)
+        n_q_pad = _round_up(n, qt)
+        starts = _band_starts(n_q_pad, qt, n_pad, band)
+        s_arr = jnp.asarray(starts, jnp.int32)
+        s_q = jnp.repeat(s_arr, qt)[:n]
+        lo_i = jnp.clip(s_arr - 1, 0, n - 1)
+        hi_i = jnp.clip(s_arr + band, 0, n - 1)
+        xlo = jnp.repeat(jnp.take(x0, lo_i, axis=1), qt, axis=1)[:, :n]
+        xhi = jnp.repeat(jnp.take(x0, hi_i, axis=1), qt, axis=1)[:, :n]
+        inf = jnp.float32(jnp.inf)
+        bound_lo = jnp.where(s_q > 0, (x0 - xlo) ** 2, inf)
+        bound_hi = jnp.where(s_q + band < n, (xhi - x0) ** 2, inf)
+        gap2 = jnp.minimum(bound_lo, bound_hi)           # (B, n)
+        qnorm = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)  # (B, n)
+        cn_max = jnp.max(qnorm, axis=1, keepdims=True)
+        margin = (cn_max + qnorm) * jnp.float32(2.0 ** -13)
+        s_kth = _key_to_f32(kth)
+        cert = s_kth > (-gap2 + qnorm + margin)
+        fail = (ovf > 0) | ~cert
+        return _repair(idx, fail, jnp.sum(fail, axis=1))
+
+    sorted_ok = jnp.all(x0[:, 1:] >= x0[:, :-1])
+    return jax.lax.cond(sorted_ok, _banded, _full, None)

@@ -123,6 +123,15 @@ class DGCNNConfig:
     # capped's own is 0.999929; @2048 degrades to 0.9997 — scripts/
     # exp_fsb2.py log 2026-08-17). 30-epoch soak: BASELINE.md.
     knn_band_feature: int = 4096
+    # Runtime RECALL guard for the uncertified feature bands: this many
+    # strided probe queries are re-solved with the full capped kernel's
+    # queries variant inside every feature-banded call; sampled recall
+    # below knn_band_recall_threshold triggers a lax.cond fallback to the
+    # full capped kernel + a host-side warning. Self-defence for
+    # out-of-distribution geometry where x-order doesn't localise the
+    # feature graph (the sortedness gate can't see that). 0 disables.
+    knn_band_recall_guard: int = 256
+    knn_band_recall_threshold: float = 0.995
     # Banded RING kNN for the point-sharded path (parallel/ring_knn.py):
     # the spatial stage-1 ring visits only the 2s+1 ring-adjacent shards
     # instead of all d, CERTIFIED per query against the x-sorted
@@ -223,6 +232,16 @@ class DGCNNConfig:
             raise ValueError(
                 f"knn_band_feature {self.knn_band_feature!r} must be a "
                 "non-negative multiple of 256")
+        if (not isinstance(self.knn_band_recall_guard, int)
+                or isinstance(self.knn_band_recall_guard, bool)
+                or self.knn_band_recall_guard < 0):
+            raise ValueError(
+                f"knn_band_recall_guard {self.knn_band_recall_guard!r} "
+                "must be a non-negative int (probe query count; 0 off)")
+        if not 0.0 <= float(self.knn_band_recall_threshold) <= 1.0:
+            raise ValueError(
+                f"knn_band_recall_threshold "
+                f"{self.knn_band_recall_threshold!r} must be in [0, 1]")
         for f_ in ("ring_band_shards", "ring_band_feature_shards"):
             v = getattr(self, f_)
             if not isinstance(v, int) or isinstance(v, bool) or v < 0:
@@ -242,14 +261,19 @@ class DGCNNConfig:
     @property
     def _fuse_on(self) -> bool:
         """Resolved fuse_epilogue: explicit bool wins; 'auto' enables the
-        fused eval kernels on TPU at f32 default precision."""
+        fused eval kernels on TPU at default matmul precision — for f32
+        AND compute_dtype="bfloat16" (the stage kernels take a bf16_mm
+        flag mirroring the XLA chain's operand casts; round-3's blanket
+        bf16 gate made the knob SLOWER than f32, 34.5 vs 27.4 ms —
+        BASELINE.md). Other compute dtypes and matmul_precision="highest"
+        (the pure-XLA parity mode) keep the XLA chain."""
         if self.fuse_epilogue is not True and self.fuse_epilogue != "auto":
             return False
         if self.fuse_epilogue is True:
             return True
         return (
             jax.default_backend() == "tpu"
-            and self.compute_dtype is None
+            and self.compute_dtype in (None, "bfloat16")
             and self.matmul_precision != "highest"
         )
 
@@ -435,10 +459,30 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
                 n_win=cfg.knn_band_nwin, capped_cap=cfg.knn_cap,
                 unroll_cap=(0 if (not train or cfg.knn_train_unroll)
                             else 1),
+                recall_guard=cfg.knn_band_recall_guard,
+                recall_threshold=cfg.knn_band_recall_threshold,
             ),
             "pt",
         )
-    if impl in ("pallas", "pallas_packed", "pallas_capped"):
+    if impl == "pallas":
+        # Bit-exact parity mode at capped-extraction speed: certified
+        # banded scan on sorted stage-1 coordinates, full-width windowed
+        # scan for the feature stages (no sound feature-space band bound
+        # exists), exact repair of every certificate failure — indices
+        # identical to lax.top_k on all inputs (kernels/knn_pallas.py::
+        # knn_pallas_exact; /root/reference/model.py:25-40 semantics).
+        from dgcnn_tpu.kernels.knn_pallas import knn_pallas_exact
+
+        return checkpoint_name(
+            knn_pallas_exact(
+                x, cfg.k,
+                band=cfg.knn_band if spatial else 0,
+                unroll_cap=(0 if (not train or cfg.knn_train_unroll)
+                            else 1),
+            ),
+            "pt",
+        )
+    if impl in ("pallas_packed", "pallas_capped"):
         from dgcnn_tpu.kernels.knn_pallas import knn_pallas
 
         return checkpoint_name(
@@ -513,6 +557,7 @@ def _two_conv_body(x, idx, cfg, params, state, names, *, train, cd):
                          state[bn_b]["mean"], state[bn_b]["var"])
         out = edgeconv_fused_stage(
             a, idx, bvec, params[conv_b]["w"], sa, ta, sb, tb,
+            bf16_mm=cd == jnp.bfloat16,
         )
         return out, {bn_a: state[bn_a], bn_b: state[bn_b]}
     e = edge_conv_linear(x, idx, params[conv_a]["w"], compute_dtype=cd)

@@ -38,7 +38,11 @@ def pairwise_neg_sqdist(q: jax.Array, c: jax.Array) -> jax.Array:
     qq = jnp.sum(q * q, axis=-1, keepdims=True)  # (..., Q, 1)
     cc = jnp.sum(c * c, axis=-1, keepdims=True)  # (..., N, 1)
     qc = jnp.einsum(
-        "...qc,...nc->...qn", q, c, preferred_element_type=jnp.float32
+        "...qc,...nc->...qn", q, c, preferred_element_type=jnp.float32,
+        # HIGHEST: the TPU default truncates f32 operands to bf16
+        # (4.3e-3 rel score error — scripts/exp_dot_precision_probe.py),
+        # visibly degrading the exact reference this function defines
+        precision=jax.lax.Precision.HIGHEST,
     )
     return 2.0 * qc - qq - jnp.swapaxes(cc, -1, -2)
 
@@ -46,7 +50,8 @@ def pairwise_neg_sqdist(q: jax.Array, c: jax.Array) -> jax.Array:
 def _knn_scores(q: jax.Array, c: jax.Array, c_norms: jax.Array) -> jax.Array:
     """Ranking scores ``2 q·c - ‖c‖²`` (row-constant ‖q‖² dropped)."""
     qc = jnp.einsum(
-        "...qc,...nc->...qn", q, c, preferred_element_type=jnp.float32
+        "...qc,...nc->...qn", q, c, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # see _pairwise_neg_sqdist
     )
     return 2.0 * qc - c_norms[..., None, :]
 

@@ -28,7 +28,10 @@ def _score_merge(q, cand, shard_id, n_local, k, best):
     offset = shard_id * n_local
     cnorm = jnp.sum(cand * cand, axis=-1)                      # (B, Nl)
     scores = 2.0 * jnp.einsum(
-        "bqc,bnc->bqn", q, cand, preferred_element_type=jnp.float32
+        "bqc,bnc->bqn", q, cand, preferred_element_type=jnp.float32,
+        # the ring claims EXACT kNN: the TPU default matmul truncates f32
+        # operands to bf16 (scripts/exp_dot_precision_probe.py)
+        precision=jax.lax.Precision.HIGHEST,
     ) - cnorm[:, None, :]
     kk = min(k, n_local)
     s, idx = jax.lax.top_k(scores, kk)                         # local idx

@@ -85,6 +85,8 @@ def train(
     knn_train_unroll: "bool | str" = "auto",
     knn_band: int | None = None,
     knn_band_feature: int | None = None,
+    knn_band_recall_guard: int | None = None,
+    knn_band_recall_threshold: float | None = None,
     knn_share_stage3: bool = False,
     compute_dtype: str | None = None,
     matmul_precision: str | None = None,
@@ -115,6 +117,10 @@ def train(
         **({} if knn_band is None else {"knn_band": knn_band}),
         **({} if knn_band_feature is None
            else {"knn_band_feature": knn_band_feature}),
+        **({} if knn_band_recall_guard is None
+           else {"knn_band_recall_guard": knn_band_recall_guard}),
+        **({} if knn_band_recall_threshold is None
+           else {"knn_band_recall_threshold": knn_band_recall_threshold}),
         knn_share_stage3=bool(knn_share_stage3),
     )
     train_data = FugroDataset(
@@ -177,6 +183,7 @@ def train(
         # graph-construction knobs change the traced kNN program too
         cfg.knn_band, cfg.knn_band_feature, cfg.knn_share_stage3,
         cfg.knn_band_cap, cfg.knn_band_nwin,
+        cfg.knn_band_recall_guard, cfg.knn_band_recall_threshold,
     )
     if knn_train_unroll == "auto":
         knn_train_unroll = is_warm(unroll_key)
@@ -392,6 +399,9 @@ def train_args(args, io: IOStream) -> dict:
         knn_train_unroll=getattr(args, "knn_train_unroll", False),
         knn_band=getattr(args, "knn_band", None),
         knn_band_feature=getattr(args, "knn_band_feature", None),
+        knn_band_recall_guard=getattr(args, "knn_band_recall_guard", None),
+        knn_band_recall_threshold=getattr(
+            args, "knn_band_recall_threshold", None),
         knn_share_stage3=getattr(args, "knn_share_stage3", False),
         tensor_parallel=getattr(args, "tensor_parallel", 1),
         patience=getattr(args, "patience", None),

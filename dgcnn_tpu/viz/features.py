@@ -108,6 +108,78 @@ def generate_feature_map_clusters(
     return clusters
 
 
+def visualize(
+    k: int,
+    io,
+    data_dir: str,
+    kind: str = "tsne",
+    depth: int = 5,
+    out_dir: str = "visualisation",
+    num_blocks: int = 1,
+    num_points: int = 7000,
+    num_classes: int = 5,
+    num_features: int = 4,
+    dropout: float = 0.5,
+    emb_dims: int = 1024,
+    model_label: str = "dgcnn_model",
+    model_root: str = "checkpoints/dgcnn",
+    knn_impl: str = "auto",
+    seed: int = 1,
+    validation_prop: float = 0.2,
+    perplexity: float = 30.0,
+    max_points: int = 2000,
+    cluster_eps: float = 2.0,
+    cluster_min_samples: int = 10,
+) -> list[str]:
+    """CLI driver: checkpoint + dataset blocks → feature visualisations.
+
+    ``kind``: 'tsne' (per-block scatter at one depth), 'tsne_sweep'
+    (depths 1-9, /root/reference/visualisation.py:150-185), or
+    'clusters' (DBSCAN feature clusters → LAS pt_src_id, :16-46).
+    Blocks come from the test split of ``data_dir`` exactly as
+    ``--eval 1`` would draw them. Returns the written file paths.
+    """
+    from dgcnn_tpu.data.dataset import FugroDataset
+    from dgcnn_tpu.eval.test import _restore
+
+    if kind not in ("tsne", "tsne_sweep", "clusters"):
+        raise ValueError(f"unknown visualisation kind {kind!r}")
+    cfg = DGCNNConfig(
+        num_classes=num_classes, num_features=num_features, k=k,
+        dropout=dropout, emb_dims=emb_dims, knn_impl=knn_impl,
+    )
+    params, bn_state = _restore(cfg, model_root, model_label, io)
+    dataset = FugroDataset(
+        "test", data_dir, num_point=num_points, seed=seed,
+        validation_prop=validation_prop, classes=range(num_classes),
+    )
+    blocks = [dataset[i][0] for i in range(min(num_blocks, len(dataset)))]
+    io.cprint(
+        f"visualize kind={kind} depth={depth}: {len(blocks)} block(s) "
+        f"from {data_dir}")
+    os.makedirs(out_dir, exist_ok=True)
+    if kind == "tsne":
+        written = feature_tsne(
+            params, bn_state, cfg, blocks, depth=depth, out_dir=out_dir,
+            perplexity=perplexity, max_points=max_points, seed=seed)
+    elif kind == "tsne_sweep":
+        written = feature_tsne_all_layers(
+            params, bn_state, cfg, blocks, out_dir=out_dir,
+            perplexity=perplexity, max_points=max_points, seed=seed)
+    else:
+        written = []
+        for bi, block in enumerate(blocks):
+            out_las = os.path.join(
+                out_dir, f"clusters_depth{depth}_block{bi}.las")
+            generate_feature_map_clusters(
+                params, bn_state, cfg, block, out_las, depth=depth,
+                eps=cluster_eps, min_samples=cluster_min_samples)
+            written.append(out_las)
+    for p in written:
+        io.cprint(f"wrote {p}")
+    return written
+
+
 def _scatter(emb: np.ndarray, labels: np.ndarray, title: str, path: str):
     import matplotlib
 

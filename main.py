@@ -6,6 +6,8 @@ Modes (/root/reference/main.py:119-136):
   --mode classifier --eval 1   evaluate a checkpoint    (test_args)
   --mode classifier --predict <las>  whole-cloud LAS->LAS prediction
   --mode process_data          offline dataset assembly (process_data)
+  --mode visualize             feature t-SNE / DBSCAN clusters from a
+                               checkpoint (visualisation.py:16-219)
 
 Flag names follow /root/reference/main.py:43-102 (boolean flags use a real
 str2bool parser instead of the reference's ``type=bool`` truthy-string
@@ -43,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
     # interface
     p.add_argument("--eval", type=str2bool, default=False)
     p.add_argument("--mode", type=str, default="classifier",
-                   choices=["classifier", "process_data"])
+                   choices=["classifier", "process_data", "visualize"])
     p.add_argument("--predict", type=str, default="",
                    help="point cloud file for whole-cloud prediction")
     p.add_argument("--predict_out", type=str, default="pc_pred.las")
@@ -104,6 +106,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "learned features; uncertified, trained-model "
                         "evidenced — kernels/knn_pallas.py). Unset = the "
                         "DGCNNConfig default; 0 disables")
+    p.add_argument("--knn_band_recall_guard", type=int, default=None,
+                   help="runtime recall guard for the uncertified feature "
+                        "bands: probe-query count re-solved with the full "
+                        "capped kernel each call; sampled recall below "
+                        "--knn_band_recall_threshold falls the batch back "
+                        "to the full kernel and warns. Unset = the "
+                        "DGCNNConfig default (256); 0 disables")
+    p.add_argument("--knn_band_recall_threshold", type=float, default=None,
+                   help="recall threshold for --knn_band_recall_guard "
+                        "(default 0.995)")
     p.add_argument("--knn_share_stage3", type=str2bool, default=False,
                    help="reuse stage 2's neighbour graph for stage 3 "
                         "instead of re-kNN'ing in x2 feature space (the "
@@ -144,6 +156,24 @@ def build_parser() -> argparse.ArgumentParser:
                         "parallel/tensor_parallel.py); the remaining "
                         "devices form the data axis. emb_dims and 192 "
                         "must be divisible by it")
+
+    # visualisation (--mode visualize; /root/reference/visualisation.py)
+    p.add_argument("--viz_kind", type=str, default="tsne",
+                   choices=["tsne", "tsne_sweep", "clusters"],
+                   help="per-block feature t-SNE at --viz_depth, a depth "
+                        "1-9 sweep, or DBSCAN feature clusters written to "
+                        "LAS pt_src_id")
+    p.add_argument("--viz_depth", type=int, default=5,
+                   help="model depth tap (1-9) to visualise")
+    p.add_argument("--viz_dir", type=str, default="visualisation")
+    p.add_argument("--viz_blocks", type=int, default=1,
+                   help="number of test-split blocks to visualise")
+    p.add_argument("--viz_max_points", type=int, default=2000,
+                   help="points subsampled per block for t-SNE")
+    p.add_argument("--viz_perplexity", type=float, default=30.0)
+    p.add_argument("--viz_cluster_eps", type=float, default=2.0,
+                   help="DBSCAN eps for --viz_kind clusters")
+    p.add_argument("--viz_cluster_min_samples", type=int, default=10)
 
     # preprocessing
     p.add_argument("--base_dir", type=str, default=os.path.join(BASE_DIR, AREA))
@@ -245,6 +275,8 @@ def main(argv=None):
                 model_label=args.model_label, model_root=args.model_root,
                 knn_impl=args.knn_impl, knn_band=args.knn_band,
                 knn_band_feature=args.knn_band_feature,
+                knn_band_recall_guard=args.knn_band_recall_guard,
+                knn_band_recall_threshold=args.knn_band_recall_threshold,
                 knn_share_stage3=args.knn_share_stage3,
                 compute_dtype=args.compute_dtype,
                 matmul_precision=args.matmul_precision,
@@ -290,6 +322,22 @@ def main(argv=None):
             args.output_tin_file_path, args.dtm_buffer, args.dtm_module_path,
             args.num_points, args.sub_block_size, args.use_all_points,
             args.sub_sample_num, args.n_tries, seed=args.seed,
+        )
+    elif args.mode == "visualize":
+        from dgcnn_tpu.viz.features import visualize
+
+        visualize(
+            args.k, io, args.data_dir,
+            kind=args.viz_kind, depth=args.viz_depth, out_dir=args.viz_dir,
+            num_blocks=args.viz_blocks, num_points=args.num_points,
+            num_classes=args.num_classes, num_features=args.num_features,
+            dropout=args.dropout, emb_dims=args.emb_dims,
+            model_label=args.model_label, model_root=args.model_root,
+            knn_impl=args.knn_impl, seed=args.seed,
+            validation_prop=args.validation_prop,
+            perplexity=args.viz_perplexity, max_points=args.viz_max_points,
+            cluster_eps=args.viz_cluster_eps,
+            cluster_min_samples=args.viz_cluster_min_samples,
         )
     else:
         raise SystemExit(f"Invalid operation mode {args.mode!r}")

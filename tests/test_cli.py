@@ -178,3 +178,60 @@ def test_cli_tensor_parallel_train(cli_env, cli_processed, monkeypatch):
         "--dropout", "0.0", "--seed", "3",
     ])
     assert os.path.exists(os.path.join(model_root, "dgcnn_model.npz"))
+
+
+def test_cli_visualize_mode(cli_env, monkeypatch, tmp_path):
+    """--mode visualize drives viz/features.py end-to-end: t-SNE PNGs and
+    DBSCAN-cluster LAS from a checkpoint + test-split blocks
+    (/root/reference/visualisation.py:16-219)."""
+    import jax
+
+    from dgcnn_tpu.models.dgcnn import DGCNNConfig
+    from dgcnn_tpu.train.checkpoint import save_checkpoint
+    from dgcnn_tpu.train.steps import init_train_state, make_optimizer
+
+    _chdir(monkeypatch, cli_env)
+    rng = np.random.default_rng(3)
+    data_dir = tmp_path / "rooms"
+    data_dir.mkdir()
+    for i in range(8):  # floor(8 * 0.34) = 2 test-split rooms
+        pts = rng.random((300, 4)) * 30
+        labels = rng.integers(0, 3, (300, 1))
+        np.save(data_dir / f"Area_{i}.npy", np.hstack([pts, labels]))
+
+    cfg = DGCNNConfig(num_classes=3, num_features=4, k=K, emb_dims=EMB,
+                      knn_impl="xla", knn_query_chunk=None)
+    state = init_train_state(jax.random.key(0), cfg, make_optimizer())
+    model_root = tmp_path / "ckpt"
+    model_root.mkdir()
+    save_checkpoint(str(model_root / "dgcnn_model.npz"), state, epoch=0)
+
+    common = [
+        "--data_dir", str(data_dir), "--num_points", "64",
+        "--num_classes", "3", "--num_features", "4", "--k", str(K),
+        "--emb_dims", str(EMB), "--model_root", str(model_root),
+        "--exp_name", "cli_viz", "--knn_impl", "xla", "--seed", "3",
+        "--validation_prop", "0.34",
+    ]
+    viz_dir = tmp_path / "viz"
+    cli.main([
+        "--mode", "visualize", *common,
+        "--viz_kind", "tsne", "--viz_depth", "5",
+        "--viz_dir", str(viz_dir), "--viz_blocks", "2",
+        "--viz_max_points", "64", "--viz_perplexity", "10",
+    ])
+    pngs = [f for f in os.listdir(viz_dir) if f.endswith(".png")]
+    assert len(pngs) == 2, pngs
+
+    cli.main([
+        "--mode", "visualize", *common,
+        "--viz_kind", "clusters", "--viz_depth", "5",
+        "--viz_dir", str(viz_dir), "--viz_blocks", "1",
+        "--viz_cluster_eps", "5.0", "--viz_cluster_min_samples", "3",
+    ])
+    las = [f for f in os.listdir(viz_dir) if f.endswith(".las")]
+    assert las, os.listdir(viz_dir)
+    from dgcnn_tpu.io.las import read_las
+
+    lo = read_las(os.path.join(viz_dir, las[0]))
+    assert len(lo) == 64

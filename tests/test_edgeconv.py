@@ -373,3 +373,29 @@ def test_fused_stage_kernels_odd_shapes(rng):
     y = sel * np.asarray(sa) + np.asarray(ta)
     want_x = np.where(y >= 0, y, 0.2 * y)
     np.testing.assert_allclose(got_x, want_x, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_stage_bf16_matches_xla_chain(rng):
+    """compute_dtype='bfloat16' must keep the fused eval path (round-3's
+    blanket gate made bf16 eval SLOWER than f32); the bf16_mm kernel flag
+    must reproduce the XLA chain's cast-then-matmul semantics."""
+    import dataclasses
+
+    import jax
+
+    from dgcnn_tpu.models.dgcnn import DGCNNConfig, apply_dgcnn, init_dgcnn
+
+    cfg = DGCNNConfig(num_classes=3, num_features=4, k=6, emb_dims=64,
+                      compute_dtype="bfloat16", fuse_epilogue=True,
+                      knn_impl="xla", knn_query_chunk=None)
+    params, state = init_dgcnn(jax.random.key(0), cfg)
+    x = jnp.asarray(rng.normal(size=(2, 200, 4)).astype("float32"))
+    l_fused, _ = apply_dgcnn(params, state, x, cfg, train=False)
+    cfg_off = dataclasses.replace(cfg, fuse_epilogue=False)
+    l_xla, _ = apply_dgcnn(params, state, x, cfg_off, train=False)
+    np.testing.assert_allclose(np.asarray(l_fused), np.asarray(l_xla),
+                               atol=1e-5, rtol=1e-5)
+    # and the auto gate resolves ON for bf16 on TPU (the fix under test):
+    # we can't flip backends here, so check the property's logic directly
+    assert dataclasses.replace(cfg, fuse_epilogue="auto")._fuse_on == (
+        jax.default_backend() == "tpu")

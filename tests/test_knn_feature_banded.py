@@ -80,6 +80,41 @@ def test_feature_banded_validation():
                                   interpret=True)
 
 
+def test_recall_guard_trips_on_decorrelated_features(rng):
+    """Adversarial geometry: the feature table is a random permutation of
+    row order (x-order does NOT localise the feature graph). The sampled
+    recall of a 512-wide band over 1536 rows is ~1/3 — the runtime guard
+    must fall back to the full capped kernel (bit-equal result) instead
+    of silently returning the degraded banded graph."""
+    f = jnp.asarray(rng.uniform(0, 30, (1, 1536, 8)).astype(np.float32))
+    want = np.asarray(knn_pallas(f, 8, packed=True, cap=8, unroll_cap=0,
+                                 interpret=True))
+    got = np.asarray(knn_pallas_feature_banded(f, 8, sorted_ok=T, **FB))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_recall_guard_keeps_banded_on_local_features(rng):
+    """Row-local features: guard ON must return the identical result to
+    guard OFF (the banded graph survives — no spurious fallback)."""
+    f = local_features(rng, 1, 1600, 6)
+    off = np.asarray(knn_pallas_feature_banded(
+        f, 8, sorted_ok=T, recall_guard=0, **FB))
+    on = np.asarray(knn_pallas_feature_banded(
+        f, 8, sorted_ok=T, recall_guard=128, **FB))
+    np.testing.assert_array_equal(on, off)
+
+
+def test_recall_guard_knob_validation():
+    from dgcnn_tpu.models.dgcnn import DGCNNConfig
+
+    with pytest.raises(ValueError, match="knn_band_recall_guard"):
+        DGCNNConfig(knn_band_recall_guard=-1)
+    with pytest.raises(ValueError, match="knn_band_recall_threshold"):
+        DGCNNConfig(knn_band_recall_threshold=1.5)
+    cfg = DGCNNConfig(knn_band_recall_guard=0)
+    assert cfg.knn_band_recall_guard == 0
+
+
 def test_model_knob_wiring(rng):
     from dgcnn_tpu.models.dgcnn import DGCNNConfig, apply_dgcnn, init_dgcnn
 
