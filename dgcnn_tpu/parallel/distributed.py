@@ -51,6 +51,52 @@ def global_batch_parts(global_batch: int) -> tuple[int, int]:
     return per, pi * per
 
 
+def put_replicated(tree, sharding):
+    """Replicate a host pytree onto a (possibly multi-process) mesh.
+
+    ``jax.device_put`` cannot target shardings with non-addressable
+    devices; this goes leaf-by-leaf through
+    ``jax.make_array_from_process_local_data`` (every process passes the
+    SAME full value — deterministic init/seeds make that hold), unwrapping
+    typed PRNG keys around the raw-buffer API.
+    """
+    def put(x):
+        try:
+            is_key = jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)
+        except Exception:  # noqa: BLE001 — non-array leaf
+            is_key = False
+        raw = np.asarray(jax.random.key_data(x) if is_key else x)
+        g = jax.make_array_from_process_local_data(sharding, raw, raw.shape)
+        return jax.random.wrap_key_data(g) if is_key else g
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def make_global_batch(arrays, sharding, *, replicate: bool):
+    """Build global batch arrays from each process's copy of the FULL
+    (deterministically generated) global batch.
+
+    ``replicate=False``: the leading axis shards over ``sharding`` and
+    each process donates only its own row block (the batch must divide
+    by process count — the caller's divisibility-by-device-count check
+    implies it). ``replicate=True`` (validation tail batches): every
+    process passes the full array under the replicated ``sharding``.
+    Single-process callers can use plain ``jax.device_put`` instead.
+    """
+    if replicate:
+        return tuple(
+            jax.make_array_from_process_local_data(sharding, np.asarray(a),
+                                                   np.shape(a))
+            for a in arrays
+        )
+    per, off = global_batch_parts(len(arrays[0]))
+    return tuple(
+        jax.make_array_from_process_local_data(
+            sharding, np.asarray(a)[off:off + per], np.shape(a))
+        for a in arrays
+    )
+
+
 def all_processes_agree(value: float) -> bool:
     """Cross-host consistency check (e.g. on metrics before checkpointing):
     true iff every process passes the same value. Single-process: trivially

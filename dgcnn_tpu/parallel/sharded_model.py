@@ -394,6 +394,50 @@ def make_sharded_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_sharded_eval_step(cfg: DGCNNConfig, mesh: Mesh, *,
+                           smoothing: bool = True):
+    """Point-sharded analogue of ``train.steps.make_eval_step``: running-
+    stat BN forward over the 2-D mesh, masked loss and confusion matrix
+    psum'd over both axes. Returns ``{'loss', 'confusion'}`` (the train
+    loop's validation contract) — per-point outputs stay sharded inside
+    the shard_map and never materialise unsharded."""
+    from dgcnn_tpu.ops.losses import smoothed_ce_per_point
+    from dgcnn_tpu.ops.metrics import confusion_matrix
+
+    spec_x = P("data", AXIS, None)
+    spec_l = P("data", AXIS)
+    repl = P()
+
+    def body(params, bn_state, points, labels, mask):
+        logits = _forward_local(params, bn_state, points, cfg)
+        per_point = smoothed_ce_per_point(logits, labels,
+                                          smoothing=smoothing)
+        w = mask.astype(per_point.dtype)
+        num = jax.lax.psum(jnp.sum(per_point * w), _BOTH)
+        den = jax.lax.psum(jnp.sum(w), _BOTH)
+        pred = jnp.argmax(logits, axis=-1)
+        cm = jax.lax.psum(
+            confusion_matrix(pred, labels, cfg.num_classes, weights=mask),
+            _BOTH,
+        )
+        return num / jnp.maximum(den, 1.0), cm
+
+    smapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(repl, repl, spec_x, spec_l, spec_l),
+        out_specs=(repl, repl),
+    )
+
+    @jax.jit
+    def step(params, bn_state, points, labels, mask=None):
+        if mask is None:
+            mask = jnp.ones(labels.shape, jnp.float32)
+        loss, cm = smapped(params, bn_state, points, labels, mask)
+        return {"loss": loss, "confusion": cm}
+
+    return step
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def apply_dgcnn_sharded(
     params,

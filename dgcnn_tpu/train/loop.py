@@ -39,7 +39,8 @@ from dgcnn_tpu.train.steps import (
     make_optimizer,
     make_train_step,
 )
-from dgcnn_tpu.utils.logging import IOStream, ScalarWriter
+from dgcnn_tpu.parallel.distributed import all_processes_agree
+from dgcnn_tpu.utils.logging import IOStream, NullWriter, ScalarWriter
 
 
 def _device_put_sharded(batch_arrays, mesh):
@@ -48,12 +49,22 @@ def _device_put_sharded(batch_arrays, mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n_data = mesh.shape["data"]
+    repl = NamedSharding(mesh, P())
     if len(batch_arrays[0]) % n_data:
         # partial batch (e.g. validation tail with drop_last=False) cannot
         # shard evenly — replicate instead; correctness over speed here
-        shard = NamedSharding(mesh, P())
+        shard = repl
     else:
         shard = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        # multi-host: device_put cannot target non-addressable devices;
+        # each process donates its own row block (or the full array for
+        # replication) — every process iterates the same deterministic
+        # global batch, so the pieces assemble consistently
+        from dgcnn_tpu.parallel.distributed import make_global_batch
+
+        return make_global_batch(batch_arrays, shard,
+                                 replicate=shard is repl)
     return tuple(jax.device_put(a, shard) for a in batch_arrays)
 
 
@@ -92,6 +103,7 @@ def train(
     matmul_precision: str | None = None,
     data_parallel: bool = True,
     tensor_parallel: int = 1,
+    point_shards: int = 1,
     smoothing: bool = True,
     device_masks: bool = False,
     remat: "bool | str" = False,
@@ -202,7 +214,37 @@ def train(
 
     mesh = None
     tp = int(tensor_parallel)
-    if tp > 1:
+    sp = int(point_shards)
+    if sp > 1:
+        # POINT-SHARDED training (sequence parallelism): whole-cloud
+        # fine-tuning at block sizes one chip cannot hold — the CLI
+        # analogue of removing the reference's 30 m tiling cap for
+        # training too (/root/reference/prepare_data/
+        # pointcloud_util.py:97-192). Ring kNN + sharded BN/max-pool live
+        # in parallel/sharded_model.py; params stay replicated.
+        from dgcnn_tpu.parallel.mesh import make_mesh, replicated_sharding
+
+        if tp > 1:
+            raise ValueError("point_shards and tensor_parallel are "
+                             "mutually exclusive (both use the mesh's "
+                             "'points' axis)")
+        if grad_accum != 1 or device_masks or (remat and remat != "off"):
+            raise ValueError(
+                "point_shards supports the plain step only (grad_accum=1, "
+                "device_masks=False, remat off)")
+        n_dev = len(jax.devices())
+        if n_dev % sp:
+            raise ValueError(
+                f"point_shards={sp} does not divide {n_dev} devices")
+        if num_points % sp:
+            raise ValueError(
+                f"num_points={num_points} not divisible by "
+                f"point_shards={sp}")
+        mesh = make_mesh(n_data=n_dev // sp, n_points=sp)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        io.cprint(f"point-sharded training: {sp}-way sequence parallel, "
+                  f"data-parallel over {n_dev // sp}")
+    elif tp > 1:
         # TP (annotation-only channel sharding of the conv6/bn6/conv7
         # trunk, parallel/tensor_parallel.py) reuses the mesh's 'points'
         # axis; batch rides 'data'. The optimizer state is re-initialised
@@ -231,8 +273,20 @@ def train(
         n_dev = len(jax.devices())
         if train_batch_size % n_dev == 0:
             mesh = make_mesh(n_data=n_dev)
-            state = jax.device_put(state, replicated_sharding(mesh))
-            io.cprint(f"data-parallel over {n_dev} devices")
+            repl = replicated_sharding(mesh)
+            if jax.process_count() > 1:
+                # multi-host: replicate through the process-local API
+                # (device_put cannot target non-addressable devices);
+                # deterministic seeding makes every process's init equal
+                from dgcnn_tpu.parallel.distributed import put_replicated
+
+                state = put_replicated(state, repl)
+                io.cprint(
+                    f"data-parallel over {n_dev} devices across "
+                    f"{jax.process_count()} processes")
+            else:
+                state = jax.device_put(state, repl)
+                io.cprint(f"data-parallel over {n_dev} devices")
 
     ckpt_path = os.path.join(model_root, f"{model_label}.npz")
     start_epoch, best_bacc = 0, 0.0
@@ -246,12 +300,25 @@ def train(
         io.cprint("No existing model, starting training from scratch...")
 
     exclude = tuple(int(c) for c in exclude_classes if int(c) >= 0)
-    train_step = make_train_step(
-        cfg, tx, smoothing=smoothing, device_masks=device_masks,
-        exclude_classes=exclude, remat=remat, grad_accum=grad_accum,
-    )
-    eval_step = make_eval_step(cfg, smoothing=smoothing)
-    writer = ScalarWriter(os.path.join(tb_dir, exp_name))
+    if sp > 1:
+        from dgcnn_tpu.parallel.sharded_model import (
+            make_sharded_eval_step,
+            make_sharded_train_step,
+        )
+
+        train_step = make_sharded_train_step(cfg, tx, mesh,
+                                             smoothing=smoothing)
+        eval_step = make_sharded_eval_step(cfg, mesh, smoothing=smoothing)
+    else:
+        train_step = make_train_step(
+            cfg, tx, smoothing=smoothing, device_masks=device_masks,
+            exclude_classes=exclude, remat=remat, grad_accum=grad_accum,
+        )
+        eval_step = make_eval_step(cfg, smoothing=smoothing)
+    # one scalar log per RUN: non-zero processes would race process 0 on
+    # the same event/JSONL files (shared fs) for byte-identical values
+    writer = (ScalarWriter(os.path.join(tb_dir, exp_name))
+              if jax.process_index() == 0 else NullWriter())
 
     summary = {}
     niter = start_epoch * steps_per_epoch * train_batch_size
@@ -339,6 +406,16 @@ def train(
         if val_bacc > best_bacc:
             best_bacc = val_bacc
             epochs_since_best = 0
+            # multi-host: the save is COLLECTIVE (every process persists
+            # its own shards), so the decision must be uniform — guard
+            # against silent cross-host divergence (bad batch sharding,
+            # non-deterministic data order) before anything hits disk
+            if not all_processes_agree(val_bacc):
+                raise RuntimeError(
+                    "cross-process metric divergence: processes computed "
+                    f"different validation balanced accuracies at epoch "
+                    f"{epoch} — data order or sharding is broken; refusing "
+                    "to checkpoint")
             io.cprint(f"Saving the best model at {ckpt_path}")
             save_checkpoint_auto(ckpt_path, state, epoch=epoch,
                                  mBPCA=best_bacc)
@@ -404,5 +481,6 @@ def train_args(args, io: IOStream) -> dict:
             args, "knn_band_recall_threshold", None),
         knn_share_stage3=getattr(args, "knn_share_stage3", False),
         tensor_parallel=getattr(args, "tensor_parallel", 1),
+        point_shards=getattr(args, "point_shards", 1),
         patience=getattr(args, "patience", None),
     )

@@ -67,3 +67,14 @@ class ScalarWriter:
         if self._tb is not None:
             self._tb.close()
         self._jsonl.close()
+
+
+class NullWriter:
+    """ScalarWriter-shaped no-op: non-zero processes of a multi-host run
+    log nothing (process 0 writes the one true scalar stream)."""
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        pass
+
+    def close(self) -> None:
+        pass

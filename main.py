@@ -57,6 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "point axis sharded over this many devices (ring "
                         "kNN sequence parallelism) instead of 30 m tiling")
 
+    # multi-host (run the SAME command on every host, one process each)
+    p.add_argument("--coordinator_address", type=str, default="",
+                   help="host:port of process 0's jax.distributed "
+                        "coordinator; enables multi-host initialisation")
+    p.add_argument("--num_processes", type=int, default=1,
+                   help="total processes in the multi-host job")
+    p.add_argument("--process_id", type=int, default=0,
+                   help="this process's rank in [0, num_processes)")
+
     # train/test
     p.add_argument("--data_dir", type=str, default="")
     p.add_argument("--tb_dir", type=str, default="log_tensorboard")
@@ -256,12 +265,34 @@ def main(argv=None):
 
     args = parse_cli(_sys.argv[1:] if argv is None else argv)
 
+    # Multi-host lifecycle from the SAME one CLI (the reference drives
+    # everything from main.py, /root/reference/main.py:33-136): launch
+    # this exact command once per host with a distinct --process_id.
+    # Must run before anything touches a JAX backend.
+    proc_idx = 0
+    if args.num_processes > 1 or args.coordinator_address:
+        from dgcnn_tpu.parallel.distributed import initialize
+
+        dist = initialize(
+            coordinator_address=args.coordinator_address or None,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        proc_idx = dist["process_index"]
+        print(f"distributed: process {dist['process_index']}/"
+              f"{dist['process_count']}, {dist['local_devices']} local / "
+              f"{dist['global_devices']} global devices", flush=True)
+
     from dgcnn_tpu.utils.logging import IOStream
 
     os.makedirs(f"checkpoints/{args.exp_name}/models", exist_ok=True)
-    io = IOStream(f"checkpoints/{args.exp_name}/run.log")
+    # per-process log file: concurrent appends from several hosts would
+    # interleave mid-line on a shared filesystem
+    log_name = "run.log" if proc_idx == 0 else f"run.p{proc_idx}.log"
+    io = IOStream(f"checkpoints/{args.exp_name}/{log_name}")
     io.cprint(str(args))
-    _snapshot_run_config(args)
+    if proc_idx == 0:
+        _snapshot_run_config(args)
 
     if args.mode == "classifier":
         if args.predict:

@@ -235,3 +235,53 @@ def test_cli_visualize_mode(cli_env, monkeypatch, tmp_path):
 
     lo = read_las(os.path.join(viz_dir, las[0]))
     assert len(lo) == 64
+
+
+def test_cli_point_sharded_training(monkeypatch, tmp_path):
+    """--point_shards N at train time (whole-cloud fine-tuning workflow,
+    the training analogue of removing the reference's 30 m tiling cap —
+    pointcloud_util.py:97-192): the 8-way point-sharded trajectory must
+    match the unsharded CLI run on identical data, and the checkpoint
+    must restore. Production-shape parity for the same step lives in
+    __graft_entry__.dryrun_multichip (N=8x1024, emb=1024, grad drift
+    ~1e-7); this pins the CLI workflow end-to-end."""
+    import re
+
+    rng = np.random.default_rng(11)
+    data_dir = tmp_path / "rooms"
+    data_dir.mkdir()
+    for i in range(14):
+        pts = rng.random((300, 4)) * 30
+        labels = rng.integers(0, 3, (300, 1))
+        np.save(data_dir / f"Area_{i}.npy", np.hstack([pts, labels]))
+
+    pat = re.compile(r"Train \d+, loss: ([0-9.]+)")
+
+    def run(tag, extra):
+        cwd = tmp_path / tag
+        cwd.mkdir()
+        monkeypatch.chdir(cwd)
+        monkeypatch.setenv("DGCNN_JAX_CACHE_DIR", "")
+        cli.main([
+            "--mode", "classifier", "--eval", "0",
+            "--data_dir", str(data_dir), "--num_points", "64",
+            "--num_classes", "3", "--num_features", "4", "--k", "4",
+            "--emb_dims", "32", "--model_root", str(tmp_path / tag / "m"),
+            "--exp_name", tag, "--knn_impl", "xla",
+            "--epochs", "2", "--batch_size", "8",
+            "--validation_batch_size", "8", "--validation_prop", "0.3",
+            "--dropout", "0.0", "--scheduler", "cos", "--seed", "3",
+            *extra,
+        ])
+        log = (cwd / "checkpoints" / tag / "run.log").read_text()
+        return [float(m) for m in pat.findall(log)]
+
+    sharded = run("sp8", ["--point_shards", "8"])
+    plain = run("plain", [])
+    assert len(sharded) == 2 and len(plain) == 2
+    np.testing.assert_allclose(sharded, plain, rtol=2e-3)
+    assert os.path.exists(tmp_path / "sp8" / "m" / "dgcnn_model.npz")
+
+    # invalid combos fail loudly through the CLI
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run("bad", ["--point_shards", "8", "--tensor_parallel", "2"])

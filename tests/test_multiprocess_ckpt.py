@@ -250,3 +250,119 @@ def test_two_process_dp_training_matches_single(tmp_path):
     # trajectory check guards semantics, not bit equality.
     np.testing.assert_allclose(mp_losses[0], want[0], atol=1e-5)
     np.testing.assert_allclose(mp_losses, want, rtol=2e-3)
+
+
+_CLI_WORKER = r'''
+import os, sys
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["DGCNN_JAX_CACHE_DIR"] = ""
+
+pid, port, data_dir, model_root, workdir = sys.argv[1:6]
+os.chdir(workdir)
+
+import main as cli
+
+cli.main([
+    "--mode", "classifier", "--eval", "0",
+    "--coordinator_address", f"localhost:{port}",
+    "--num_processes", "2", "--process_id", pid,
+    "--data_dir", data_dir, "--num_points", "32",
+    "--num_classes", "3", "--num_features", "4", "--k", "4",
+    "--emb_dims", "32", "--model_root", model_root,
+    "--exp_name", "mp_cli", "--knn_impl", "xla",
+    "--epochs", "2", "--batch_size", "8",
+    "--validation_batch_size", "8", "--validation_prop", "0.3",
+    "--dropout", "0.0", "--scheduler", "cos", "--seed", "3",
+])
+
+import jax
+assert jax.process_count() == 2
+print(f"proc {pid}: OK", flush=True)
+'''
+
+
+def test_two_process_cli_train_matches_single(tmp_path):
+    """The reference drives its whole lifecycle from ONE CLI
+    (/root/reference/main.py:33-136); the multi-host analogue is the same
+    command per host with --coordinator_address/--num_processes/
+    --process_id. Two REAL processes train 2 epochs through main.main();
+    the printed loss trajectory must match a single-process CLI run on
+    identical data, and the checkpoint must be the sharded layout with
+    one shard file per process."""
+    import re
+
+    import numpy as np
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(0)
+    data_dir = tmp_path / "rooms"
+    data_dir.mkdir()
+    for i in range(14):  # floor(14*0.3)=4 val rooms, 10 train (batch 8)
+        pts = rng.random((200, 4)) * 30
+        labels = rng.integers(0, 3, (200, 1))
+        np.save(data_dir / f"Area_{i}.npy", np.hstack([pts, labels]))
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS",
+                        "XLA_FLAGS")}
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    port = str(random.randint(20000, 40000))
+    model_root = tmp_path / "mp_ckpt"
+    work = tmp_path / "mp_cwd"
+    work.mkdir()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CLI_WORKER, str(i), port,
+             str(data_dir), str(model_root), str(work)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+        assert f"proc {i}: OK" in out
+
+    pat = re.compile(r"Train \d+, loss: ([0-9.]+)")
+    mp_losses = [float(m) for m in pat.findall(outs[0])]
+    assert len(mp_losses) == 2, outs[0][-2000:]
+    assert pat.findall(outs[0]) == pat.findall(outs[1])
+
+    # sharded checkpoint: a directory with a manifest + per-process shards
+    ckpt = model_root / "dgcnn_model.npz"
+    assert ckpt.is_dir(), os.listdir(model_root)
+    files = sorted(os.listdir(ckpt))
+    assert "manifest.json" in files
+    for pidx in range(2):
+        assert any(f.startswith(f"shards_p{pidx}_") for f in files), files
+
+    # single-process ground truth through the very same CLI
+    import main as cli
+
+    work1 = tmp_path / "sp_cwd"
+    work1.mkdir()
+    cwd = os.getcwd()
+    os.chdir(work1)
+    try:
+        cli.main([
+            "--mode", "classifier", "--eval", "0",
+            "--data_dir", str(data_dir), "--num_points", "32",
+            "--num_classes", "3", "--num_features", "4", "--k", "4",
+            "--emb_dims", "32", "--model_root", str(tmp_path / "sp_ckpt"),
+            "--exp_name", "sp_cli", "--knn_impl", "xla",
+            "--epochs", "2", "--batch_size", "8",
+            "--validation_batch_size", "8", "--validation_prop", "0.3",
+            "--dropout", "0.0", "--scheduler", "cos", "--seed", "3",
+        ])
+    finally:
+        os.chdir(cwd)
+    log = (work1 / "checkpoints" / "sp_cli" / "run.log").read_text()
+    sp_losses = [float(m) for m in pat.findall(log)]
+    assert len(sp_losses) == 2, log[-2000:]
+    np.testing.assert_allclose(mp_losses, sp_losses, rtol=2e-3)
