@@ -85,11 +85,18 @@ def bench_jax() -> dict:
     for tag, knn_impl in (
         ("pallas-exact", "pallas"),
         ("pallas-capped", "pallas_capped"),
+        # the opt-in performance frontier: stage 3 reuses stage 2's graph
+        # ("static graph" DGCNN; --knn_share_stage3). Changes predictions
+        # — soak-validated when TRAINED with it (bacc 0.9931/mIoU 0.9849,
+        # BASELINE.md), hence not the headline default.
+        ("share3-frontier", "pallas_capped+share3"),
         ("pallas-packed", "pallas_packed"),
         ("approx", "approx"),
     ):
+        share3 = knn_impl.endswith("+share3")
         cfg = DGCNNConfig(num_classes=C, num_features=F, k=K, emb_dims=EMB,
-                          knn_impl=knn_impl)
+                          knn_impl=knn_impl.split("+")[0],
+                          knn_share_stage3=share3)
         params, state = init_dgcnn(jax.random.key(0), cfg)
         x = jnp.asarray(make_blocks())
 
@@ -307,6 +314,8 @@ def main():
     extras = {
         "exact_pts_per_sec": round(
             results["pallas-exact"]["points_per_sec"], 1),
+        "share3_frontier_pts_per_sec": round(
+            results["share3-frontier"]["points_per_sec"], 1),
         "packed_pts_per_sec": round(
             results["pallas-packed"]["points_per_sec"], 1),
         "approx_pts_per_sec": round(
