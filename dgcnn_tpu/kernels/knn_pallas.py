@@ -178,6 +178,20 @@ def _vmem_budget_bytes() -> int:
     )
 
 
+def _exact_dot_precision():
+    """Distance-dot precision for the EXACT kernels (resolved at trace
+    time). HIGHEST (default, bf16x6 on TPU — 1.8e-7 rel, f32-class) or
+    HIGH via DGCNN_EXACT_DOT_PREC=high (bf16x3, ~5e-7 — half the MXU
+    passes; near-tie noise only). DEFAULT (bf16x1) is NOT offered here:
+    4.3e-3 rel score error flips real rankings
+    (scripts/exp_dot_precision_probe.py)."""
+    import os
+
+    v = os.environ.get("DGCNN_EXACT_DOT_PREC", "highest").lower()
+    return (jax.lax.Precision.HIGH if v == "high"
+            else jax.lax.Precision.HIGHEST)
+
+
 from dgcnn_tpu.kernels.gather_pallas import _round_up  # shared helper
 
 
@@ -594,12 +608,13 @@ def _knn_kernel_exact_banded(
         q, xb,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        # HIGHEST is load-bearing: the TPU's DEFAULT matmul precision
-        # truncates f32 operands to bf16 (measured 4.3e-3 max rel score
-        # error — scripts/exp_dot_precision_probe.py), which flips real
-        # rankings; HIGHEST is f32-class (1.8e-7) and bit-matches the
-        # XLA reference einsum at the same precision
-        precision=jax.lax.Precision.HIGHEST,
+        # High precision is load-bearing: the TPU's DEFAULT matmul
+        # precision truncates f32 operands to bf16 (measured 4.3e-3 max
+        # rel score error — scripts/exp_dot_precision_probe.py), which
+        # flips real rankings; HIGHEST is f32-class (1.8e-7).
+        # DGCNN_EXACT_DOT_PREC=high opts into the 3-pass variant
+        # (~5e-7-class — near-tie noise only; experiment knob).
+        precision=_exact_dot_precision(),
     ) - cnb[:, 0][None, :]                             # (qt, band)
     bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
     key = jnp.where(bits >= 0, bits, jnp.int32(-0x80000000) - bits)
@@ -767,9 +782,9 @@ def _knn_kernel(
         q, x,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        # f32-exact claim needs HIGHEST: the TPU default truncates f32
-        # operands to bf16 (4.3e-3 rel — exp_dot_precision_probe.py)
-        precision=jax.lax.Precision.HIGHEST,
+        # f32-exact claim needs high precision: the TPU default truncates
+        # f32 operands to bf16 (4.3e-3 rel — exp_dot_precision_probe.py)
+        precision=_exact_dot_precision(),
     ) - cnorm_ref[0]
     scores_scr[:] = scores
 

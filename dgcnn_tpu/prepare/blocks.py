@@ -44,10 +44,20 @@ def sample_data_label(data, label, num_sample, rng):
 
 
 class _XYIndex:
-    """Sorted-x index for fast axis-aligned window queries."""
+    """Sorted-x index for fast axis-aligned window queries.
+
+    The stable x argsort is the hottest single op of the predict() block
+    stage at production tile sizes (~62 of 93 ms at 400k pts — scripts/
+    exp_load_chain_profile.py); the native radix argsort produces the
+    IDENTICAL permutation ~4x faster (numpy fallback off-build)."""
 
     def __init__(self, xy: np.ndarray):
-        self.order = np.argsort(xy[:, 0], kind="stable")
+        from dgcnn_tpu.prepare.dtm import native_argsort_f64
+
+        order = native_argsort_f64(xy[:, 0])
+        if order is None:
+            order = np.argsort(xy[:, 0], kind="stable")
+        self.order = order
         self.xs = xy[self.order, 0]
         self.ys = xy[self.order, 1]
 

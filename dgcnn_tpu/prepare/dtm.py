@@ -304,6 +304,14 @@ def _native_lib():
         ]
     except AttributeError:
         pass
+    try:  # stable radix argsort (stale builds lack it)
+        lib.dtmgen_argsort_f64.restype = ctypes.c_int
+        lib.dtmgen_argsort_f64.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+    except AttributeError:
+        pass
     try:  # fused decode+noise+assembly (stale builds lack it)
         lib.dtmgen_las_load.restype = ctypes.c_int64
         lib.dtmgen_las_load.argtypes = [
@@ -337,6 +345,26 @@ def native_noise_mask(xyz: np.ndarray, max_dist: float) -> np.ndarray | None:
         float(max_dist), keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return None if rc else keep.astype(bool)
+
+
+def native_argsort_f64(keys: np.ndarray) -> np.ndarray | None:
+    """Stable ascending argsort of 1-D f64 keys — the identical
+    permutation to ``np.argsort(keys, kind='stable')`` (NaN-free keys;
+    ±0.0 compare equal, input order kept), ~4x faster single-core via an
+    LSD radix sort. None when the lib is unavailable or lacks the
+    symbol."""
+    import ctypes
+
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "dtmgen_argsort_f64"):
+        return None
+    k = np.ascontiguousarray(keys, np.float64)
+    out = np.empty(len(k), np.int64)
+    rc = lib.dtmgen_argsort_f64(
+        k.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(k),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return None if rc else out
 
 
 def native_agl_knn(

@@ -498,6 +498,47 @@ extern "C" int dtmgen_noise_mask(const double* xyz, int64_t n,
   return 0;
 }
 
+// Stable LSD-radix argsort of f64 keys, ascending, ties in input order —
+// the EXACT permutation np.argsort(kind="stable") yields (numpy's stable
+// float sort is comparison-based, so -0.0 == +0.0 keep input order; the
+// monotone bit transform below maps -0.0 onto +0.0's key to match).
+// Keys must be NaN-free (coordinates are). ~4x numpy single-core at the
+// 400k production tile; feeds prepare/blocks.py::_XYIndex.
+extern "C" int dtmgen_argsort_f64(const double* keys, int64_t n,
+                                  int64_t* out_idx) {
+  if (n < 0) return 1;
+  std::vector<uint64_t> k0(static_cast<size_t>(n)),
+      k1(static_cast<size_t>(n));
+  std::vector<int64_t> i0(static_cast<size_t>(n)),
+      i1(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t b;
+    std::memcpy(&b, &keys[i], 8);
+    if ((b << 1) == 0) b = 0;  // -0.0 -> +0.0 (numpy compares them equal)
+    k0[size_t(i)] = (b & 0x8000000000000000ull)
+                        ? ~b
+                        : (b | 0x8000000000000000ull);
+    i0[size_t(i)] = i;
+  }
+  for (int pass = 0; pass < 8; ++pass) {
+    const int shift = pass * 8;
+    int64_t count[257] = {0};
+    for (int64_t i = 0; i < n; ++i)
+      ++count[((k0[size_t(i)] >> shift) & 0xff) + 1];
+    for (int b = 0; b < 256; ++b) count[b + 1] += count[b];
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t& pos = count[(k0[size_t(i)] >> shift) & 0xff];
+      k1[size_t(pos)] = k0[size_t(i)];
+      i1[size_t(pos)] = i0[size_t(i)];
+      ++pos;
+    }
+    k0.swap(k1);
+    i0.swap(i1);
+  }
+  if (n > 0) std::memcpy(out_idx, i0.data(), size_t(n) * 8);
+  return 0;
+}
+
 // out[q] = mean z of the k nearest (in XY) of m reference points — exact
 // k-NN via expanding square rings over a uniform grid; equidistant points
 // resolve to the lower index (ties are measure-zero off grid-degenerate
@@ -515,8 +556,20 @@ extern "C" int dtmgen_agl_knn(const double* ref_xy, const double* ref_z,
     my = std::max(my, ref_xy[i * 2 + 1]);
   }
   double extent = std::max(std::max(mx - mnx, my - mny), 1e-9);
-  // aim for ~2k points per cell so ring 0/1 usually already holds the kNN
-  double cell = extent / std::max(1.0, std::sqrt(double(m) / (2.0 * k)));
+  // Cell density: aim for ~tgt*k reference points per cell. Swept on the
+  // 400k-point / 15.9k-node production profile (bit-equal at every
+  // setting — the ring termination bound is distance-based, independent
+  // of the partition): tgt 2.0/1.0/0.5/0.25/0.125 -> 118.7/94.7/71.5/
+  // 79.7/78.6 ms. The old tgt=2.0 (~8 nodes/cell) scanned ~72
+  // candidates per query in rings 0-1; 0.5 (~2/cell) is the sweet spot
+  // between candidate count and ring-iteration overhead. Env override
+  // DTMGEN_AGL_CELL_PTS for re-tuning on other grid shapes.
+  double tgt = 0.5;
+  if (const char* e = std::getenv("DTMGEN_AGL_CELL_PTS")) {
+    double v = std::atof(e);
+    if (v > 0) tgt = v;
+  }
+  double cell = extent / std::max(1.0, std::sqrt(double(m) / (tgt * k)));
   CellIndex ci;
   if (!BuildIndex(ref_xy, m, 2, 2, cell, &ci))
     return 1;  // caller falls back to the KDTree path

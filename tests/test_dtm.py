@@ -277,3 +277,32 @@ def test_water_fill_ignores_exterior_margin():
         np.testing.assert_array_equal(native == NO_DATA, ours == NO_DATA)
         both = (native != NO_DATA)
         np.testing.assert_allclose(native[both], ours[both], atol=1e-3)
+
+
+def test_native_argsort_matches_numpy_stable():
+    """dtmgen_argsort_f64 must yield the IDENTICAL permutation to
+    np.argsort(kind='stable') — including duplicate keys (input order
+    kept) and +-0.0 (numpy compares them equal; the radix key transform
+    maps -0.0 onto +0.0). It feeds _XYIndex, whose window results feed
+    the rng-sensitive block sampling — any permutation drift would
+    silently change every predict() output."""
+    from dgcnn_tpu.prepare.dtm import native_argsort_f64
+
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.random(100_000) * 120.0,
+        rng.integers(0, 50, 50_000).astype(np.float64),  # heavy ties
+        np.array([0.0, -0.0, 1.0, -0.0, 0.0, -1.0, -0.0]),
+        np.arange(1000, 0, -1, dtype=np.float64),
+        np.array([], np.float64),
+        np.array([3.14]),
+        np.concatenate([rng.random(1000), -rng.random(1000),
+                        np.zeros(100)]),
+    ]
+    got0 = native_argsort_f64(cases[0])
+    if got0 is None:
+        pytest.skip("native library unavailable")
+    for i, k in enumerate(cases):
+        got = native_argsort_f64(k)
+        want = np.argsort(k, kind="stable")
+        np.testing.assert_array_equal(got, want, err_msg=f"case {i}")
