@@ -179,17 +179,14 @@ def _vmem_budget_bytes() -> int:
 
 
 def _exact_dot_precision():
-    """Distance-dot precision for the EXACT kernels (resolved at trace
-    time). HIGHEST (default, bf16x6 on TPU — 1.8e-7 rel, f32-class) or
-    HIGH via DGCNN_EXACT_DOT_PREC=high (bf16x3, ~5e-7 — half the MXU
-    passes; near-tie noise only). DEFAULT (bf16x1) is NOT offered here:
-    4.3e-3 rel score error flips real rankings
-    (scripts/exp_dot_precision_probe.py)."""
-    import os
-
-    v = os.environ.get("DGCNN_EXACT_DOT_PREC", "highest").lower()
-    return (jax.lax.Precision.HIGH if v == "high"
-            else jax.lax.Precision.HIGHEST)
+    """Distance-dot precision for the EXACT kernels: HIGHEST (bf16x6 on
+    TPU — 1.8e-7 rel, f32-class). DEFAULT (bf16x1) is not an option:
+    4.3e-3 rel score error flips real rankings (scripts/
+    exp_dot_precision_probe.py). HIGH (bf16x3, would halve the passes)
+    does NOT lower in Mosaic — `NotImplementedError: Unsupported dot
+    precision: HIGH` on v5e (scripts/exp_exact_prec_ab.py) — so there is
+    no middle tier to offer."""
+    return jax.lax.Precision.HIGHEST
 
 
 from dgcnn_tpu.kernels.gather_pallas import _round_up  # shared helper
@@ -612,8 +609,6 @@ def _knn_kernel_exact_banded(
         # precision truncates f32 operands to bf16 (measured 4.3e-3 max
         # rel score error — scripts/exp_dot_precision_probe.py), which
         # flips real rankings; HIGHEST is f32-class (1.8e-7).
-        # DGCNN_EXACT_DOT_PREC=high opts into the 3-pass variant
-        # (~5e-7-class — near-tie noise only; experiment knob).
         precision=_exact_dot_precision(),
     ) - cnb[:, 0][None, :]                             # (qt, band)
     bits = jax.lax.bitcast_convert_type(scores, jnp.int32)

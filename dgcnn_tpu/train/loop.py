@@ -215,6 +215,22 @@ def train(
     mesh = None
     tp = int(tensor_parallel)
     sp = int(point_shards)
+    if jax.process_count() > 1:
+        # multi-host state placement goes through process-local donation
+        # (put_replicated/make_global_batch) — only the DP path has that
+        # wiring; TP/point-sharded state placement uses device_put, which
+        # cannot target non-addressable devices. And an unsharded
+        # multi-host run would silently train per-process copies.
+        if tp > 1 or sp > 1:
+            raise ValueError(
+                "multi-host training supports the data-parallel path "
+                "only (tensor_parallel=1, point_shards=1)")
+        if not data_parallel:
+            raise ValueError("multi-host training requires data_parallel")
+        if train_batch_size % len(jax.devices()):
+            raise ValueError(
+                f"multi-host: train_batch_size {train_batch_size} must "
+                f"divide over {len(jax.devices())} global devices")
     if sp > 1:
         # POINT-SHARDED training (sequence parallelism): whole-cloud
         # fine-tuning at block sizes one chip cannot hold — the CLI
