@@ -1213,7 +1213,13 @@ def _recall_warn_ok(interpret: bool) -> bool:
 
     v = os.environ.get("DGCNN_RECALL_WARN")
     if v is not None:
-        return v == "1"
+        on = v.strip().lower() in ("1", "true", "yes", "on")
+        off = v.strip().lower() in ("0", "false", "no", "off", "")
+        if not (on or off):
+            raise ValueError(
+                f"DGCNN_RECALL_WARN={v!r}: use 1/true/yes/on or "
+                "0/false/no/off")
+        return on
     return interpret or jax.default_backend() != "tpu"
 
 

@@ -411,6 +411,10 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
     feature-banded kernel for the non-spatial stages (the feature table
     itself carries no sortedness information)."""
     impl = cfg.knn_impl
+    # capped/banded cap-loop structure: python-unrolled (0) in eval (and
+    # in train when the warm marker resolved knn_train_unroll), fori (1)
+    # otherwise — see the capped branch below for the measured trade
+    unroll_cap = 0 if (not train or cfg.knn_train_unroll) else 1
     if impl == "auto":
         # TPU: the hierarchical capped packed kernel for BOTH training and
         # inference — fastest per kNN, and its accuracy is soak-validated
@@ -437,8 +441,7 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
             knn_pallas_banded(
                 x, cfg.k, band=cfg.knn_band, cap=cfg.knn_band_cap,
                 n_win=cfg.knn_band_nwin, capped_cap=cfg.knn_cap,
-                unroll_cap=(0 if (not train or cfg.knn_train_unroll)
-                            else 1),
+                unroll_cap=unroll_cap,
             ),
             "pt",
         )
@@ -457,8 +460,7 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
                 x, cfg.k, sorted_ok=sorted_ok,
                 band=cfg.knn_band_feature, cap=cfg.knn_band_cap,
                 n_win=cfg.knn_band_nwin, capped_cap=cfg.knn_cap,
-                unroll_cap=(0 if (not train or cfg.knn_train_unroll)
-                            else 1),
+                unroll_cap=unroll_cap,
                 recall_guard=cfg.knn_band_recall_guard,
                 recall_threshold=cfg.knn_band_recall_threshold,
             ),
@@ -477,8 +479,7 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
             knn_pallas_exact(
                 x, cfg.k,
                 band=cfg.knn_band if spatial else 0,
-                unroll_cap=(0 if (not train or cfg.knn_train_unroll)
-                            else 1),
+                unroll_cap=unroll_cap,
             ),
             "pt",
         )
@@ -496,8 +497,7 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
                 # (1) compiles in seconds. Inference is kNN-dominated
                 # (3×7.3 of 36 ms) -> unrolled; the train step is not
                 # (kNN ~9 of ~107 ms) -> fori. scripts/exp_capped_unroll.py
-                unroll_cap=(0 if (not train or cfg.knn_train_unroll)
-                            else 1),
+                unroll_cap=unroll_cap,
             ),
             "pt",
         )

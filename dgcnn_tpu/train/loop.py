@@ -256,6 +256,16 @@ def train(
             raise ValueError(
                 f"num_points={num_points} not divisible by "
                 f"point_shards={sp}")
+        if train_batch_size % (n_dev // sp) or (
+                validation_prop > 0
+                and validation_batch_size % (n_dev // sp)):
+            # shard_map's P("data", ...) specs are a hard divisibility
+            # requirement (no replicate fallback exists for them);
+            # validation TAIL batches are handled by mask-padding below
+            raise ValueError(
+                f"point_shards={sp} on {n_dev} devices leaves a data axis "
+                f"of {n_dev // sp}: train/validation batch sizes must be "
+                "divisible by it")
         mesh = make_mesh(n_data=n_dev // sp, n_points=sp)
         state = jax.device_put(state, replicated_sharding(mesh))
         io.cprint(f"point-sharded training: {sp}-way sequence parallel, "
@@ -395,8 +405,24 @@ def train(
                 validation_batch_size, epoch=epoch, with_mask=False,
                 shuffle=False, drop_last=False,
             ):
+                b_pts, b_lab, b_msk = batch.points, batch.labels, batch.mask
+                if sp > 1 and len(b_pts) % mesh.shape["data"]:
+                    # shard_map specs need the batch axis divisible by the
+                    # data axis; pad the tail batch with mask-0 rows —
+                    # loss and confusion are mask-weighted, so metrics
+                    # are unchanged
+                    pad = -len(b_pts) % mesh.shape["data"]
+                    b_pts = np.concatenate(
+                        [b_pts, np.zeros((pad,) + b_pts.shape[1:],
+                                         b_pts.dtype)])
+                    b_lab = np.concatenate(
+                        [b_lab, np.zeros((pad,) + b_lab.shape[1:],
+                                         b_lab.dtype)])
+                    b_msk = np.concatenate(
+                        [b_msk, np.zeros((pad,) + b_msk.shape[1:],
+                                         b_msk.dtype)])
                 pts, labels, mask = _device_put_sharded(
-                    (batch.points, batch.labels, batch.mask), mesh
+                    (b_pts, b_lab, b_msk), mesh
                 )
                 out = eval_step(state.params, state.bn_state, pts, labels,
                                 mask)
@@ -419,19 +445,21 @@ def train(
         writer.add_scalar("Test/balanced_accuracy", val_bacc, epoch)
         writer.add_scalar("epoch_seconds", time.time() - t0, epoch)
 
+        # multi-host: the checkpoint save is COLLECTIVE (every process
+        # persists its own shards), so the save DECISION must be uniform.
+        # This agreement check must run UNCONDITIONALLY each epoch — if it
+        # lived inside the divergence-dependent branch below, the very
+        # divergence it guards against would deadlock the job (one
+        # process entering the allgather while another skips it).
+        if not all_processes_agree(val_bacc):
+            raise RuntimeError(
+                "cross-process metric divergence: processes computed "
+                f"different validation balanced accuracies at epoch "
+                f"{epoch} — data order or sharding is broken; refusing "
+                "to checkpoint")
         if val_bacc > best_bacc:
             best_bacc = val_bacc
             epochs_since_best = 0
-            # multi-host: the save is COLLECTIVE (every process persists
-            # its own shards), so the decision must be uniform — guard
-            # against silent cross-host divergence (bad batch sharding,
-            # non-deterministic data order) before anything hits disk
-            if not all_processes_agree(val_bacc):
-                raise RuntimeError(
-                    "cross-process metric divergence: processes computed "
-                    f"different validation balanced accuracies at epoch "
-                    f"{epoch} — data order or sharding is broken; refusing "
-                    "to checkpoint")
             io.cprint(f"Saving the best model at {ckpt_path}")
             save_checkpoint_auto(ckpt_path, state, epoch=epoch,
                                  mBPCA=best_bacc)

@@ -53,9 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="label every point (not a num_points subsample per "
                         "block) during --predict")
     p.add_argument("--point_shards", type=int, default=1,
-                   help="classify the WHOLE cloud as one block with the "
-                        "point axis sharded over this many devices (ring "
-                        "kNN sequence parallelism) instead of 30 m tiling")
+                   help="shard the point axis over this many devices "
+                        "(ring-kNN sequence parallelism). Predict: the "
+                        "WHOLE cloud classifies as one block instead of "
+                        "30 m tiling. Train (--eval 0): point-sharded "
+                        "training for whole-cloud fine-tuning (plain "
+                        "step only — grad_accum/remat/device_masks/"
+                        "tensor_parallel are rejected)")
 
     # multi-host (run the SAME command on every host, one process each)
     p.add_argument("--coordinator_address", type=str, default="",
@@ -282,6 +286,16 @@ def main(argv=None):
         print(f"distributed: process {dist['process_index']}/"
               f"{dist['process_count']}, {dist['local_devices']} local / "
               f"{dist['global_devices']} global devices", flush=True)
+        if dist["process_count"] > 1 and not (
+                args.mode == "classifier" and not args.eval
+                and not args.predict):
+            # only train() has multi-host collectives/guards; every other
+            # mode would run the full single-process path on EVERY
+            # process, racing on shared output files
+            raise SystemExit(
+                "multi-host (--num_processes > 1) supports training only "
+                "(--mode classifier --eval 0); run eval/predict/"
+                "process_data/visualize single-process")
 
     from dgcnn_tpu.utils.logging import IOStream
 

@@ -285,3 +285,44 @@ def test_cli_point_sharded_training(monkeypatch, tmp_path):
     # invalid combos fail loudly through the CLI
     with pytest.raises(ValueError, match="mutually exclusive"):
         run("bad", ["--point_shards", "8", "--tensor_parallel", "2"])
+
+
+def test_cli_point_sharded_val_tail_batch(monkeypatch, tmp_path):
+    """--point_shards 4 on 8 devices leaves a data axis of 2: validation
+    tail batches (drop_last=False) not divisible by it must be mask-padded
+    for the shard_map specs, not crash (review finding r4)."""
+    rng = np.random.default_rng(5)
+    data_dir = tmp_path / "rooms"
+    data_dir.mkdir()
+    for i in range(12):  # floor(12*0.25)=3 val rooms -> tail batch of 1
+        pts = rng.random((300, 4)) * 30
+        labels = rng.integers(0, 3, (300, 1))
+        np.save(data_dir / f"Area_{i}.npy", np.hstack([pts, labels]))
+
+    cwd = tmp_path / "cwd"
+    cwd.mkdir()
+    monkeypatch.chdir(cwd)
+    monkeypatch.setenv("DGCNN_JAX_CACHE_DIR", "")
+    cli.main([
+        "--mode", "classifier", "--eval", "0",
+        "--data_dir", str(data_dir), "--num_points", "64",
+        "--num_classes", "3", "--num_features", "4", "--k", "4",
+        "--emb_dims", "32", "--model_root", str(tmp_path / "m"),
+        "--exp_name", "sp4tail", "--knn_impl", "xla",
+        "--epochs", "1", "--batch_size", "8",
+        "--validation_batch_size", "2", "--validation_prop", "0.25",
+        "--dropout", "0.0", "--seed", "3", "--point_shards", "4",
+    ])
+    assert os.path.exists(tmp_path / "m" / "dgcnn_model.npz")
+    # and an indivisible BATCH SIZE fails loudly at setup, not mid-epoch
+    with pytest.raises(ValueError, match="divisible"):
+        cli.main([
+            "--mode", "classifier", "--eval", "0",
+            "--data_dir", str(data_dir), "--num_points", "64",
+            "--num_classes", "3", "--num_features", "4", "--k", "4",
+            "--emb_dims", "32", "--model_root", str(tmp_path / "m2"),
+            "--exp_name", "sp4bad", "--knn_impl", "xla",
+            "--epochs", "1", "--batch_size", "7",
+            "--validation_batch_size", "2", "--validation_prop", "0.25",
+            "--dropout", "0.0", "--seed", "3", "--point_shards", "4",
+        ])
