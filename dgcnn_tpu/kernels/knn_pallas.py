@@ -210,6 +210,7 @@ def _knn_kernel_packed_split(
         q, x,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # see _knn_kernel_packed
     ) - cnorm_ref[0]
     scores = scores - jnp.sum(q * q, axis=1, keepdims=True)
     qt = q.shape[0]
@@ -306,6 +307,7 @@ def _knn_kernel_packed_capped(
         x, q,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # see _knn_kernel_packed
     ) - cnorm_ref[0]                       # (n_pad, qt)
     # per-query |q|^2 subtraction: keys quantize -|x-q|^2 directly
     # (see _knn_kernel_packed) — ranking unchanged, precision ~exact
@@ -453,12 +455,14 @@ def _knn_kernel_banded(
         ) - cnb
         scores = scores - jnp.sum(q * q, axis=1)[None, :]
     else:
-        # hi_prec (stage-1 spatial): the band-edge CERTIFICATE's
-        # soundness needs f32-class scores — the TPU default truncates
-        # f32 operands to bf16, rel error ~2^-9 >> the one-quantum
-        # certificate margin (scripts/exp_dot_precision_probe.py). The
-        # c_pad=8 dot makes HIGHEST ~free there. Feature-space callers
-        # (c_pad=64, uncertified, recall-guarded) keep the default.
+        # hi_prec: the stage-1 band-edge CERTIFICATE's soundness needs
+        # f32-class scores — the TPU default truncates f32 operands to
+        # bf16, rel error ~2^-9 >> the one-quantum certificate margin
+        # (scripts/exp_dot_precision_probe.py) — and the feature-space
+        # callers flipped to HIGHEST too in round 4 (+0.2 ms/call = +6%,
+        # exp_guard_and_prec_cost.py: bf16 dot error swamped the 18-bit
+        # key precision and capped trained agreement at ~0.9993).
+        # study-ablation callers may pass False to isolate the bf16 dot.
         scores = 2.0 * jax.lax.dot_general(
             xb, q,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -710,6 +714,11 @@ def _knn_kernel_packed(
         q, x,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # round 4: f32-class scoring everywhere — the TPU DEFAULT
+        # truncates f32 operands to bf16 (4.3e-3 rel, swamping the
+        # 18-bit key precision; scripts/exp_dot_precision_probe.py);
+        # HIGHEST costs ~6% of the kernel (exp_guard_and_prec_cost.py)
+        precision=jax.lax.Precision.HIGHEST,
     ) - cnorm_ref[0]
     # Per-query re-centering before quantization: subtracting |q_i|^2
     # (constant per row — ranking unchanged) turns each score into exactly
@@ -1307,7 +1316,7 @@ def knn_pallas_feature_banded(
         idx, _keys = _knn_banded_jit(
             x, k, band=band, n_win=n_win, cap=cap, query_tile=qt,
             unroll_cap=unroll_cap, unroll_merge=unroll_merge,
-            interpret=interpret,
+            interpret=interpret, hi_prec=True,
         )
         if not recall_guard:
             return idx
