@@ -348,12 +348,13 @@ def main():
     # banded (uncertified, trained-model-evidenced), all on the
     # hierarchical capped packed-key Pallas kernel (18/19-bit score keys,
     # per-window cap 8). Trained-model argmax agreement vs f32-exact
-    # 0.99995-0.999964 (BASELINE.md); the fully f32-exact path is in extras
+    # 0.999982 since the HIGHEST-precision scoring flip (BASELINE.md);
+    # the fully f32-exact path is in extras
     value = results["pallas-capped"]["points_per_sec"]
     out = {
         "metric": (f"points_per_sec_chip_infer_N{N}_k{K} "
                    "(banded+capped packed kNN stack: trained-model argmax "
-                   "agreement vs f32-exact 0.99995-0.999964, BASELINE.md; "
+                   "agreement vs f32-exact 0.999982, BASELINE.md; "
                    "extras: f32-exact, flat packed)"),
         "value": round(value, 1),
         "unit": "points/s",
