@@ -1321,30 +1321,67 @@ def knn_pallas_feature_banded(
         if not recall_guard:
             return idx
         s = min(recall_guard, n)
-        # static strided probe rows (deterministic — no RNG in the graph)
-        pos = jnp.asarray(
-            np.linspace(0, n - 1, s).round().astype(np.int32))
-        qf = jnp.take(x, pos, axis=1)                    # (B, S, C)
-        ref = knn_pallas(
-            x, k, packed=True,
-            cap=cap if capped_cap is None else capped_cap,
-            unroll_cap=min(unroll_cap, 1), unroll_merge=unroll_merge,
-            interpret=interpret, queries=qf,
-        )                                                # (B, S, k)
-        got = jnp.take(idx, pos, axis=1)                 # (B, S, k)
-        hit = jnp.any(ref[..., :, None] == got[..., None, :], axis=-1)
-        recall = jnp.mean(hit.astype(jnp.float32))
+
+        def _probe_recall(s_probe: int, probe_qt: "int | None"):
+            # static strided probe rows (deterministic — no RNG in graph)
+            pos = jnp.asarray(
+                np.linspace(0, n - 1, s_probe).round().astype(np.int32))
+            qf = jnp.take(x, pos, axis=1)                # (B, S, C)
+            ref = knn_pallas(
+                x, k, packed=True,
+                cap=cap if capped_cap is None else capped_cap,
+                query_tile=probe_qt,
+                unroll_cap=min(unroll_cap, 1), unroll_merge=unroll_merge,
+                interpret=interpret, queries=qf,
+            )                                            # (B, S, k)
+            got = jnp.take(idx, pos, axis=1)             # (B, S, k)
+            hit = jnp.any(ref[..., :, None] == got[..., None, :], axis=-1)
+            return jnp.mean(hit.astype(jnp.float32))
 
         def _keep(_):
             return idx
 
-        def _fall(_):
-            if _recall_warn_ok(interpret):
-                jax.debug.callback(_feature_band_recall_warn, recall)
-            return _capped(None)
+        def _fall_on(recall):
+            def _fall(_):
+                if _recall_warn_ok(interpret):
+                    jax.debug.callback(_feature_band_recall_warn, recall)
+                return _capped(None)
 
-        return jax.lax.cond(
-            recall >= jnp.float32(recall_threshold), _keep, _fall, None)
+            return _fall
+
+        thr = jnp.float32(recall_threshold)
+        s0 = min(64, s)
+        if s0 >= s:
+            # small guard: single-stage, at the narrow probe tile
+            recall = _probe_recall(s, 64)
+            return jax.lax.cond(recall >= thr, _keep, _fall_on(recall),
+                                None)
+        # TWO-STAGE sequential probe (VERDICT r4 item 4): a 64-probe
+        # first stage at a 64-row query tile costs ~s0/s of the old
+        # single-stage guard (the probe kernel's cost is per query tile
+        # x full table width); only a first-stage recall below the
+        # ESCALATION threshold — halfway between perfect and the
+        # fallback threshold, i.e. stricter than the fallback decision
+        # itself — pays for the full s-probe confirmation, whose recall
+        # then gates the fallback exactly as before. Healthy geometry
+        # (measured recall 0.99997) keeps stage A at ~1.0, so the
+        # escalation is a cold branch; degraded geometry lands far
+        # below both thresholds and trips stage B's fallback. The only
+        # semantic change vs single-stage: a TRUE recall in the narrow
+        # window (thr, escalate_thr) may keep the band without the
+        # s-probe confirmation on calls where the 64-probe sample reads
+        # high — above the fallback threshold by definition, so never a
+        # silent quality class change.
+        escalate_thr = jnp.float32(1.0 - (1.0 - recall_threshold) / 2.0)
+        recall_a = _probe_recall(s0, 64)
+
+        def _escalate(_):
+            recall_b = _probe_recall(s, None)
+            return jax.lax.cond(recall_b >= thr, _keep,
+                                _fall_on(recall_b), None)
+
+        return jax.lax.cond(recall_a >= escalate_thr, _keep, _escalate,
+                            None)
 
     return jax.lax.cond(sorted_ok, _banded, _capped, None)
 
@@ -1623,6 +1660,13 @@ def knn_pallas_exact(
 
     banded_ok = (band and n_pad > band
                  and band - (n_pad - n) >= k)
+    if banded_ok:
+        # A query tile wider than the band would put tile-edge queries
+        # outside their own band: the edge certificate then fails them
+        # all, the repair budget overflows, and every call silently runs
+        # the flat fallback ON TOP of the banded pass. Clamp like
+        # knn_pallas_banded does.
+        qt = min(qt, band)
     x0 = x[..., 0].astype(jnp.float32)
 
     def _repair(idx, fail, counts):
@@ -1630,22 +1674,26 @@ def knn_pallas_exact(
         fall back to the flat exact kernel wholesale."""
         r_budget = min(repair_budget, n)
 
-        def _no_fail(_):
-            return idx
+        def _within_budget(_):
+            def _no_fail(_):
+                return idx
 
-        def _do_repair(_):
-            vals, pos = jax.lax.top_k(fail.astype(jnp.int32), r_budget)
-            qf = jnp.take_along_axis(x, pos[..., None], axis=1)
-            rep = knn_pallas(x, k, packed=False, interpret=interpret,
-                             queries=qf)
-            cur = jnp.take_along_axis(idx, pos[..., None], axis=1)
-            new = jnp.where(vals[..., None] > 0, rep, cur)
-            bi = jnp.arange(b)[:, None]
-            return idx.at[bi, pos].set(new)
+            def _do_repair(_):
+                vals, pos = jax.lax.top_k(fail.astype(jnp.int32), r_budget)
+                qf = jnp.take_along_axis(x, pos[..., None], axis=1)
+                rep = knn_pallas(x, k, packed=False, interpret=interpret,
+                                 queries=qf)
+                cur = jnp.take_along_axis(idx, pos[..., None], axis=1)
+                new = jnp.where(vals[..., None] > 0, rep, cur)
+                bi = jnp.arange(b)[:, None]
+                return idx.at[bi, pos].set(new)
 
-        repaired = jax.lax.cond(jnp.any(fail), _do_repair, _no_fail, None)
+            return jax.lax.cond(jnp.any(fail), _do_repair, _no_fail, None)
+
+        # nest the repair under the budget check so the top_k/gather/
+        # repair kernel never executes when the flat fallback is taken
         return jax.lax.cond(
-            jnp.all(counts <= r_budget), lambda _: repaired, _flat, None)
+            jnp.all(counts <= r_budget), _within_budget, _flat, None)
 
     def _full(_):
         idx, kth, ovf = _knn_exact_jit(

@@ -61,10 +61,64 @@ def _warm_dir() -> str | None:
     return os.path.join(os.path.dirname(base.rstrip("/")) or base, "warm")
 
 
+# Source dirs/files whose code shapes the jitted production programs:
+# any edit there changes the lowered HLO, so a warm marker minted before
+# the edit must stop matching (VERDICT r4 item 2 — a config-keyed marker
+# silently ate a hidden ~10-min Mosaic recompile under a "warm" claim).
+_PROGRAM_SOURCE_SUBDIRS = ("kernels", "ops", "models", "train", "parallel")
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_fingerprint_cache: tuple[tuple, str] | None = None
+
+
+def _program_source_fingerprint() -> str:
+    """Content hash of every .py file that shapes the compiled programs.
+
+    Memoized on a (path, mtime_ns, size) stat signature so an in-process
+    source edit (tests; interactive sessions) recomputes — touching one
+    byte of a kernel flips every warm key derived from it."""
+    global _fingerprint_cache
+    import hashlib
+
+    pkg_root = _PKG_ROOT
+    files = []
+    for sub in _PROGRAM_SOURCE_SUBDIRS:
+        d = os.path.join(pkg_root, sub)
+        if not os.path.isdir(d):
+            continue
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".py"):
+                files.append(os.path.join(d, name))
+    sig = []
+    for p in files:
+        try:
+            st = os.stat(p)
+            sig.append((p, st.st_mtime_ns, st.st_size))
+        except OSError:
+            sig.append((p, -1, -1))
+    sig = tuple(sig)
+    if _fingerprint_cache is not None and _fingerprint_cache[0] == sig:
+        return _fingerprint_cache[1]
+    h = hashlib.sha1()
+    for p in files:
+        try:
+            with open(p, "rb") as f:
+                h.update(p.encode())
+                h.update(f.read())
+        except OSError:
+            h.update(f"{p}:unreadable".encode())
+    digest = h.hexdigest()[:16]
+    _fingerprint_cache = (sig, digest)
+    return digest
+
+
 def warm_key(tag: str, *parts) -> str:
-    """Stable key for a compiled-program shape: hash of every value that
-    changes the jitted train program's HLO (config fields, batch shape,
-    schedule constants, device kind)."""
+    """Stable key for a compiled-program identity: hash of every value
+    that changes the jitted train program's HLO (config fields, batch
+    shape, schedule constants, device kind) PLUS a content fingerprint of
+    the kernel/ops/model/train/parallel sources — kernel-code edits
+    self-invalidate instead of hiding a full Mosaic recompile behind a
+    stale "warm" marker."""
     import hashlib
 
     try:
@@ -73,7 +127,7 @@ def warm_key(tag: str, *parts) -> str:
         kind = jax.devices()[0].device_kind
     except Exception:
         kind = "unknown"
-    blob = repr((tag, kind, parts)).encode()
+    blob = repr((tag, kind, _program_source_fingerprint(), parts)).encode()
     return f"{tag}-{hashlib.sha1(blob).hexdigest()[:16]}"
 
 

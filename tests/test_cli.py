@@ -287,6 +287,60 @@ def test_cli_point_sharded_training(monkeypatch, tmp_path):
         run("bad", ["--point_shards", "8", "--tensor_parallel", "2"])
 
 
+def test_cli_combined_axis_mesh_training(monkeypatch, tmp_path):
+    """Combined-axis mesh training (VERDICT r4 item 7): the two
+    compositions the mesh supports — {data:2, points:4} and
+    {data:4, tensor_parallel:2} — must both reproduce the unsharded CLI
+    training trajectory on identical data. The third composition
+    (points x tensor_parallel) is restricted BY DESIGN: TP is
+    annotation-only GSPMD which cannot live inside the point-sharded
+    path's manual shard_map region, and both map to the mesh's 'points'
+    axis — the restriction is validated loudly (DESIGN.md behaviour
+    choices)."""
+    import re
+
+    rng = np.random.default_rng(11)
+    data_dir = tmp_path / "rooms"
+    data_dir.mkdir()
+    for i in range(14):
+        pts = rng.random((300, 4)) * 30
+        labels = rng.integers(0, 3, (300, 1))
+        np.save(data_dir / f"Area_{i}.npy", np.hstack([pts, labels]))
+
+    pat = re.compile(r"Train \d+, loss: ([0-9.]+)")
+
+    def run(tag, extra):
+        cwd = tmp_path / tag
+        cwd.mkdir()
+        monkeypatch.chdir(cwd)
+        monkeypatch.setenv("DGCNN_JAX_CACHE_DIR", "")
+        cli.main([
+            "--mode", "classifier", "--eval", "0",
+            "--data_dir", str(data_dir), "--num_points", "64",
+            "--num_classes", "3", "--num_features", "4", "--k", "4",
+            "--emb_dims", "32", "--model_root", str(tmp_path / tag / "m"),
+            "--exp_name", tag, "--knn_impl", "xla",
+            "--epochs", "2", "--batch_size", "8",
+            "--validation_batch_size", "8", "--validation_prop", "0.3",
+            "--dropout", "0.0", "--scheduler", "cos", "--seed", "3",
+            *extra,
+        ])
+        log = (cwd / "checkpoints" / tag / "run.log").read_text()
+        return [float(m) for m in pat.findall(log)]
+
+    plain = run("plain", [])
+    assert len(plain) == 2
+    # data x points: batch 8 over data axis 2, N=64 over points axis 4
+    dp_sp = run("d2p4", ["--point_shards", "4"])
+    np.testing.assert_allclose(dp_sp, plain, rtol=2e-3)
+    # data x tensor_parallel: batch 8 over data axis 4, trunk over tp=2
+    dp_tp = run("d4tp2", ["--tensor_parallel", "2"])
+    np.testing.assert_allclose(dp_tp, plain, rtol=2e-3)
+    # points x tensor_parallel: restricted by design, fails loudly
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run("sp_tp", ["--point_shards", "4", "--tensor_parallel", "2"])
+
+
 def test_cli_point_sharded_val_tail_batch(monkeypatch, tmp_path):
     """--point_shards 4 on 8 devices leaves a data axis of 2: validation
     tail batches (drop_last=False) not divisible by it must be mask-padded

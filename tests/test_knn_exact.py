@@ -144,6 +144,31 @@ def test_exact_fori_variant(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_exact_band_narrower_than_query_tile(rng, monkeypatch):
+    # band < query_tile: without the qt=min(qt, band) clamp the tile-edge
+    # queries sit outside their own band, the edge certificate fails them
+    # all, and every call silently runs the flat fallback on top of the
+    # banded pass (banding inert). Spy on the banded kernel call to pin
+    # the clamp, and check exactness end-to-end.
+    import dgcnn_tpu.kernels.knn_pallas as kp
+
+    calls = []
+    real = kp._knn_exact_jit
+
+    def spy(x, k, **kw):
+        calls.append(dict(kw))
+        return real(x, k, **kw)
+
+    monkeypatch.setattr(kp, "_knn_exact_jit", spy)
+    x = sorted_float_cloud(rng, 1, 1600, 4)
+    want = np.asarray(knn(x, 8, query_chunk=None))
+    got = np.asarray(kp.knn_pallas_exact(
+        x, 8, band=256, n_win=16, cap=8, query_tile=512, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    banded = [c for c in calls if c["band"] == 256]
+    assert banded and all(c["query_tile"] <= 256 for c in banded)
+
+
 def test_exact_validation():
     x = jnp.zeros((1, 1600, 4))
     with pytest.raises(ValueError, match="band"):

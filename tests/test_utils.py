@@ -140,3 +140,58 @@ def test_env_report_collects():
     assert rep["config_defaults"]["knn_band"] >= 0
     assert json.loads(json.dumps(rep, default=str))
     assert main(["--no-device"]) == 0
+
+
+def test_warm_key_tracks_program_source(tmp_path, monkeypatch):
+    """Warm markers key on PROGRAM identity, not just config: touching a
+    single byte of a kernel source flips the derived warm key, so a
+    kernel edit self-invalidates instead of hiding a full Mosaic
+    recompile behind a stale 'warm' claim (VERDICT r4 item 2)."""
+    from dgcnn_tpu.utils import compilation_cache as cc
+
+    kern = tmp_path / "pkg" / "kernels"
+    kern.mkdir(parents=True)
+    src = kern / "fake_kernel.py"
+    src.write_text("A = 1\n")
+    monkeypatch.setattr(cc, "_PKG_ROOT", str(tmp_path / "pkg"))
+    monkeypatch.setattr(cc, "_fingerprint_cache", None)
+    monkeypatch.setenv("DGCNN_JAX_CACHE_DIR", str(tmp_path / "jax"))
+
+    key0 = cc.warm_key("train-unroll", 2, 32)
+    assert key0 == cc.warm_key("train-unroll", 2, 32)  # stable
+    cc.mark_warm(key0)
+    assert cc.is_warm(key0)
+
+    # touch one source byte (keep mtime moving even on coarse clocks)
+    src.write_text("A = 2\n")
+    os.utime(src, ns=(1, 1))
+    key1 = cc.warm_key("train-unroll", 2, 32)
+    assert key1 != key0
+    assert not cc.is_warm(key1)  # the edited program reads cold
+
+    # reverting the edit restores the original identity
+    src.write_text("A = 1\n")
+    os.utime(src, ns=(2, 2))
+    assert cc.warm_key("train-unroll", 2, 32) == key0
+
+
+def test_bench_anchor_record_rolls_forward(tmp_path, monkeypatch):
+    """bench.py's drift anchor: the rolling approx record only moves up,
+    and a session reading below it yields session_drift < 1."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..",
+                                  "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    monkeypatch.setattr(bench, "BASELINE_CACHE",
+                        str(tmp_path / "bench_baseline.json"))
+    assert bench.update_anchor_record(100.0) == 100.0
+    assert bench.update_anchor_record(80.0) == 100.0   # never rolls back
+    assert bench.update_anchor_record(120.0) == 120.0  # rolls forward
+    # persists alongside the torch baseline without clobbering it
+    bench._save_cache({**bench._load_cache(),
+                       "torch_cpu_points_per_sec": 1.0})
+    assert bench.update_anchor_record(0.0) == 120.0
+    assert bench._load_cache()["torch_cpu_points_per_sec"] == 1.0
