@@ -16,9 +16,10 @@ import numpy as np
 
 from dgcnn_tpu.io.las import save_las_pointcloud
 from dgcnn_tpu.models.dgcnn import DGCNNConfig
-from dgcnn_tpu.prepare.blocks import room2blocks
+from dgcnn_tpu.prepare.blocks import room2blocks, sample_data
 from dgcnn_tpu.prepare.dtm import build_dtm, gen_agl
 from dgcnn_tpu.prepare.loaders import load_pointcloud
+from dgcnn_tpu.prepare.tile_load import TileLoad, load_tile_las
 from dgcnn_tpu.eval.test import _restore
 from dgcnn_tpu.train.steps import make_predict_step
 from dgcnn_tpu.utils.logging import IOStream
@@ -121,7 +122,7 @@ def predict(
     classify_all: bool = False,
     point_shards: int = 1,
     ring_band_shards: int | None = None,
-    preloaded: "tuple[np.ndarray, np.ndarray] | None" = None,
+    preloaded: "tuple[np.ndarray, np.ndarray] | TileLoad | None" = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Classify a LAS/HDF5 point cloud end to end.
 
@@ -168,13 +169,30 @@ def predict(
 
     features = features or {"x": 0, "y": 1, "z": 2, "agl": 3}
     features_output = features_output or list(features)
-    if preloaded is None:
-        data, labels = predict_load(
-            pointcloud_file, features=features,
-            features_output=features_output,
-        )
-    else:  # from a serving pipeline's prefetch thread (predict_load)
+    # fused native tile load (prepare/tile_load.py): decode + noise + DTM
+    # + AGL + window row-indexing in ONE ctypes call. None → the
+    # separate-stage chain below produces the identical result.
+    tl: TileLoad | None = None
+    if isinstance(preloaded, TileLoad):
+        # from a serving pipeline's prefetch thread (predict_load_tile)
+        tl = preloaded if float(preloaded.block_size) == float(
+            block_size) else None
+        data, labels = preloaded.data, preloaded.labels
+    elif preloaded is not None:
+        # from a serving pipeline's prefetch thread (predict_load)
         data, labels = preloaded
+    else:
+        tl = load_tile_las(
+            pointcloud_file, features, features_output,
+            dtm_kwargs=dtm_kwargs, block_size=block_size,
+        )
+        if tl is not None:
+            data, labels = tl.data, tl.labels
+        else:
+            data, labels = predict_load(
+                pointcloud_file, features=features,
+                features_output=features_output,
+            )
     io.cprint(f"loaded {len(data)} points from {pointcloud_file}")
     if len(data) == 0:  # e.g. the noise filter removed everything
         io.cprint("empty cloud — nothing to classify")
@@ -187,13 +205,14 @@ def predict(
             # dropping the knob
             io.cprint("note: knn_share_stage3 is ignored by the "
                       "point-sharded forward (exact per-stage graphs)")
-        dtm = build_dtm(data[:, :3], **(dtm_kwargs or {}))
-        agl = gen_agl(dtm, data[:, :3])
-        fcols = {k_.lower(): v for k_, v in features.items()}
-        if "agl" in fcols and fcols["agl"] < data.shape[1]:
-            data[:, fcols["agl"]] = agl
-        else:
-            data = np.hstack([data, agl[:, None]])
+        if tl is None:  # fused load already filled the AGL column
+            dtm = build_dtm(data[:, :3], **(dtm_kwargs or {}))
+            agl = gen_agl(dtm, data[:, :3])
+            fcols = {k_.lower(): v for k_, v in features.items()}
+            if "agl" in fcols and fcols["agl"] < data.shape[1]:
+                data[:, fcols["agl"]] = agl
+            else:
+                data = np.hstack([data, agl[:, None]])
         io.cprint(
             f"classifying whole cloud ({len(data)} points) over "
             f"{point_shards} point shards"
@@ -209,13 +228,16 @@ def predict(
         io.cprint(f"wrote {pred_pointcloud_file} ({len(data)} points)")
         return data, pred
 
-    # Host-stage overlap: DTM+AGL run on a worker thread (the native
-    # dtmgen ctypes calls and the numpy fallbacks release the GIL) while
-    # the main thread computes the block ROW INDICES — window selection is
-    # xy-only, so it never reads the AGL column being filled
-    # (prepare/blocks.py::room2blocks(return_indices=True)). The profile
-    # that motivated this is flat (agl 0.10 / load 0.10 / blocks 0.10 /
-    # device 0.21 s at 400k pts): serialising these stages was the floor.
+    # Host-stage overlap (separate-stage fallback only): DTM+AGL run on a
+    # worker thread (the native dtmgen ctypes calls and the numpy
+    # fallbacks release the GIL) while the main thread computes the block
+    # ROW INDICES — window selection is xy-only, so it never reads the
+    # AGL column being filled
+    # (prepare/blocks.py::room2blocks(return_indices=True)). With the
+    # fused tile load, DTM/AGL/windows all already happened inside the
+    # one native call and ``tl.window_candidates()`` replaces
+    # room2blocks — the rng subsampling draws below are byte-identical
+    # either way (tests/test_tile_load.py).
     import threading
 
     agl_box: dict = {}
@@ -227,15 +249,19 @@ def predict(
         except BaseException as e:  # re-raised on the main thread below
             agl_box["error"] = e
 
-    th = threading.Thread(target=_dtm_agl)
-    th.start()
+    th = None
+    if tl is None:
+        th = threading.Thread(target=_dtm_agl)
+        th.start()
 
     rng = np.random.default_rng(seed)
     if classify_all:
-        ragged_idx = room2blocks(
-            data, labels, num_points, block_size=block_size,
-            stride=block_size, random_sample=False, use_all_points=True,
-            rng=rng, return_indices=True,
+        ragged_idx = (
+            tl.window_candidates() if tl is not None else room2blocks(
+                data, labels, num_points, block_size=block_size,
+                stride=block_size, random_sample=False, use_all_points=True,
+                rng=rng, return_indices=True,
+            )
         )
         chunk_idx, chunk_valid = [], []
         for bidx in ragged_idx:
@@ -261,30 +287,45 @@ def predict(
         )
     else:
         chunk_valid = None
-        block_idx = room2blocks(
-            data, labels, num_points, block_size=block_size,
-            stride=block_size, random_sample=False, use_all_points=False,
-            rng=rng, return_indices=True,
-        )
+        if tl is not None:
+            # the fused call's per-window candidates feed the SAME
+            # subsampler room2blocks uses, in the same order → identical
+            # rng sequence and blocks (prepare/blocks.py:142-150)
+            blocks_i = []
+            for sel in tl.window_candidates():
+                _, sub = sample_data(sel[:, None], num_points, rng)
+                blocks_i.append(sel[sub][None])
+            block_idx = (
+                np.concatenate(blocks_i, 0) if blocks_i
+                else np.zeros((0, num_points), np.int64)
+            )
+        else:
+            block_idx = room2blocks(
+                data, labels, num_points, block_size=block_size,
+                stride=block_size, random_sample=False,
+                use_all_points=False, rng=rng, return_indices=True,
+            )
         if len(block_idx):
             # x-sort each block's rows (see FugroDataset.sort_points)
             perm = np.argsort(data[:, 0][block_idx], axis=1, kind="stable")
             block_idx = np.take_along_axis(block_idx, perm, axis=1)
     n_blocks = len(block_idx)
     io.cprint(f"classifying {n_blocks} blocks of {num_points} points")
-    th.join()
-    if "error" in agl_box:  # DTM/AGL failed on the worker — surface it
-        raise agl_box["error"]
+    if th is not None:
+        th.join()
+        if "error" in agl_box:  # DTM/AGL failed on the worker — surface it
+            raise agl_box["error"]
     if n_blocks == 0:
         io.cprint("no blocks with enough points — nothing to classify")
         return np.zeros((0, data.shape[1])), np.zeros((0,), np.int32)
 
-    agl = agl_box["agl"]
-    fcols = {k_.lower(): v for k_, v in features.items()}
-    if "agl" in fcols and fcols["agl"] < data.shape[1]:
-        data[:, fcols["agl"]] = agl
-    else:
-        data = np.hstack([data, agl[:, None]])
+    if th is not None:
+        agl = agl_box["agl"]
+        fcols = {k_.lower(): v for k_, v in features.items()}
+        if "agl" in fcols and fcols["agl"] < data.shape[1]:
+            data[:, fcols["agl"]] = agl
+        else:
+            data = np.hstack([data, agl[:, None]])
 
     # dispatch batches asynchronously (JAX queues device work; pulling each
     # result immediately would serialise host<->device) but bound the

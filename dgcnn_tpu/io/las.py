@@ -154,6 +154,63 @@ _LOAD_FIELD_IDS = {
 _RGB_FORMATS = (2, 3, 7, 8)
 
 
+def build_load_extras(
+    features: dict[str, int], features_output: list[str], point_format: int
+) -> np.ndarray:
+    """(field_id, out_column) int32 pairs for the native LAS loaders'
+    ``extra`` argument (dtmgen_las_load / dtmgen_tile_load). 'agl' and
+    unknown names are skipped (they stay zero-filled, matching
+    loaders.py); rgb fields are skipped for rgb-less formats."""
+    extras: list[int] = []
+    for name in features_output:
+        if name in ("x", "y", "z") or name not in features:
+            continue
+        fid = _LOAD_FIELD_IDS.get(name)
+        if fid is None:  # 'agl' stays zero-filled; unknown names skipped
+            continue
+        if fid >= 3 and point_format not in _RGB_FORMATS:
+            continue  # rgb requested from an rgb-less format → zeros
+        extras += [fid, features[name]]
+    return np.asarray(extras, np.int32)
+
+
+def read_raw_point_records(
+    path: str,
+) -> "tuple[bytes, int, int, int, tuple, tuple, tuple] | None":
+    """Read an uncompressed LAS file's raw point-record block + the header
+    fields the native decoders need: ``(raw, n_points, point_format,
+    record_len, (sx, sy, sz), (ox, oy, oz), (max_x, min_x, max_y, min_y,
+    max_z, min_z))``. None when the file is LAZ/truncated/an unsupported
+    format (callers fall back to the numpy chain)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(375)
+            if head[:4] != _SIGNATURE or head[104] & 0x80:
+                return None
+            point_offset = struct.unpack_from("<I", head, 96)[0]
+            point_format = head[104] & 0x3F
+            record_len = struct.unpack_from("<H", head, 105)[0]
+            n_points = struct.unpack_from("<I", head, 107)[0]
+            scale = struct.unpack_from("<3d", head, 131)
+            offset = struct.unpack_from("<3d", head, 155)
+            bbox = struct.unpack_from("<6d", head, 179)
+            if (head[24], head[25]) >= (1, 4):
+                n64 = struct.unpack_from("<Q", head, 247)[0]
+                if n64:
+                    n_points = n64
+            if (point_format not in _POINT_DTYPES
+                    or record_len < _POINT_DTYPES[point_format].itemsize
+                    or n_points == 0):
+                return None
+            f.seek(point_offset)
+            raw = f.read(record_len * n_points)
+    except OSError:
+        return None
+    if len(raw) < record_len * n_points:
+        return None
+    return raw, n_points, point_format, record_len, scale, offset, bbox
+
+
 def load_las_matrix(
     path: str,
     features: dict[str, int],
@@ -186,44 +243,13 @@ def load_las_matrix(
     lib = _native_lib()
     if lib is None or not hasattr(lib, "dtmgen_las_load"):
         return None
-    try:
-        with open(path, "rb") as f:
-            head = f.read(375)
-            if head[:4] != _SIGNATURE or head[104] & 0x80:
-                return None
-            point_offset = struct.unpack_from("<I", head, 96)[0]
-            point_format = head[104] & 0x3F
-            record_len = struct.unpack_from("<H", head, 105)[0]
-            n_points = struct.unpack_from("<I", head, 107)[0]
-            scale = struct.unpack_from("<3d", head, 131)
-            offset = struct.unpack_from("<3d", head, 155)
-            if (head[24], head[25]) >= (1, 4):
-                n64 = struct.unpack_from("<Q", head, 247)[0]
-                if n64:
-                    n_points = n64
-            if (point_format not in _POINT_DTYPES
-                    or record_len < _POINT_DTYPES[point_format].itemsize
-                    or n_points == 0):
-                return None
-            f.seek(point_offset)
-            raw = f.read(record_len * n_points)
-    except OSError:
+    rec = read_raw_point_records(path)
+    if rec is None:
         return None
-    if len(raw) < record_len * n_points:
-        return None
+    raw, n_points, point_format, record_len, scale, offset, _bbox = rec
 
     width = max(features[f] for f in features) + 1
-    extras: list[int] = []
-    for name in features_output:
-        if name in ("x", "y", "z") or name not in features:
-            continue
-        fid = _LOAD_FIELD_IDS.get(name)
-        if fid is None:  # 'agl' stays zero-filled; unknown names skipped
-            continue
-        if fid >= 3 and point_format not in _RGB_FORMATS:
-            continue  # rgb requested from an rgb-less format → zeros
-        extras += [fid, features[name]]
-    extra_arr = np.asarray(extras, np.int32)
+    extra_arr = build_load_extras(features, features_output, point_format)
 
     data = np.zeros((n_points, width), np.float64)
     labels = np.empty(n_points, np.int64)
@@ -234,7 +260,7 @@ def load_las_matrix(
         float(max_nn_dist) if filter_noise_points else 0.0,
         width, features["x"], features["y"], features["z"],
         extra_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        len(extras) // 2,
+        len(extra_arr) // 2,
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )

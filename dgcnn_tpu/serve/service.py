@@ -62,12 +62,24 @@ class PredictService:
         self.last: dict[str, Any] | None = None
 
     def load_tile(self, in_path: str):
-        """Model-independent load stage (decode + noise filter + feature
-        assembly) for ``in_path`` — safe to run on a worker thread while
-        another tile classifies; pass the result to :meth:`classify_file`
-        as ``preloaded``."""
+        """Model-independent load stage for ``in_path`` — safe to run on a
+        worker thread while another tile classifies; pass the result to
+        :meth:`classify_file` as ``preloaded``. Uses the fused native tile
+        load (decode + noise + DTM + AGL + window indexing in one ctypes
+        call, prepare/tile_load.py) when it can serve this file/config,
+        else the separate-stage predict_load chain."""
         from dgcnn_tpu.eval.predict import predict_load
+        from dgcnn_tpu.prepare.tile_load import load_tile_las
 
+        tl = load_tile_las(
+            in_path,
+            self.kwargs.get("features"),
+            self.kwargs.get("features_output"),
+            dtm_kwargs=self.kwargs.get("dtm_kwargs"),
+            block_size=self.kwargs.get("block_size", 30.0),
+        )
+        if tl is not None:
+            return tl
         return predict_load(
             in_path,
             features=self.kwargs.get("features"),

@@ -29,6 +29,7 @@
 //      coverage; detect_water floods interior holes at boundary-min height.
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -730,11 +731,12 @@ extern "C" int dtmgen_las_decode(
 //
 // Returns n_kept, or -1 on error (unsupported format / bad columns /
 // rgb field requested from an rgb-less format).
-extern "C" int64_t dtmgen_las_load(
+static int64_t LasLoadCore(
     const uint8_t* buf, int64_t n, int record_len, int point_format,
     double sx, double sy, double sz, double ox, double oy, double oz,
     double max_nn_dist, int width, int col_x, int col_y, int col_z,
-    const int32_t* extra, int n_extra, double* data, int64_t* labels) {
+    const int32_t* extra, int n_extra, double* data, int64_t* labels,
+    std::vector<double>* xyz_keep /* compacted triplets, may be null */) {
   const LasFmt fm = LasFmtInfo(point_format);
   if (!fm.ok || record_len < fm.min_len) return -1;
   if (col_x < 0 || col_x >= width || col_y < 0 || col_y >= width ||
@@ -783,6 +785,7 @@ extern "C" int64_t dtmgen_las_load(
     }
   });
   for (int64_t b = 0; b < nb; ++b) off[b + 1] += off[b];
+  if (xyz_keep) xyz_keep->resize(size_t(off[nb]) * 3);
 
   // pass 2: compacted row write. Extras first, then xyz — a feature
   // deliberately mapped onto a coordinate column is overwritten by the
@@ -819,12 +822,361 @@ extern "C" int64_t dtmgen_las_load(
         row[col_x] = xyz[i * 3];
         row[col_y] = xyz[i * 3 + 1];
         row[col_z] = xyz[i * 3 + 2];
+        if (xyz_keep) {
+          double* t = xyz_keep->data() + j * 3;
+          t[0] = xyz[i * 3];
+          t[1] = xyz[i * 3 + 1];
+          t[2] = xyz[i * 3 + 2];
+        }
         labels[j] = modern ? r[cls_off] : (r[cls_off] & 0x1F);
         ++j;
       }
     }
   });
   return off[nb];
+}
+
+extern "C" int64_t dtmgen_las_load(
+    const uint8_t* buf, int64_t n, int record_len, int point_format,
+    double sx, double sy, double sz, double ox, double oy, double oz,
+    double max_nn_dist, int width, int col_x, int col_y, int col_z,
+    const int32_t* extra, int n_extra, double* data, int64_t* labels) {
+  return LasLoadCore(buf, n, record_len, point_format, sx, sy, sz, ox, oy,
+                     oz, max_nn_dist, width, col_x, col_y, col_z, extra,
+                     n_extra, data, labels, nullptr);
+}
+
+namespace {
+
+// AGL directly on the DTM LATTICE: exact k-NN (in XY) among valid grid
+// nodes via an expanding Chebyshev ring scan over node indices — each
+// "cell" is one node at a known coordinate, so there is no CellIndex
+// build and no order[] indirection (~3x the CellIndex kernel on dense
+// grids). Node coordinates replicate prepare/dtm.py::build_dtm's
+// `min_x + arange(edge)*cell` float64 arithmetic exactly (the Makefile's
+// -ffp-contract=off keeps `double(i)*cell + gmin_x` un-fused). Same
+// termination bound as dtmgen_agl_knn: a node at Chebyshev ring r from
+// the clamped centre cell is >= (r-1)*cell from the query (the clamped
+// centre cell contains the query's projection onto the grid box).
+// Ties (two nodes at EXACTLY equal f64 distance) may select a different
+// k-subset than the CellIndex/KDTree scan order — measure-zero for
+// continuous coordinates, tolerance-covered in tests like every other
+// AGL engine pair (tests/test_dtm.py::test_native_agl_knn_matches_kdtree).
+// Writes data[q*width + col_agl] = z_q - mean_k(node z).
+void AglFromLattice(const float* grid, int64_t edge, double gmin_x,
+                    double gmin_y, double cell, double* data, int64_t n,
+                    int width, int col_x, int col_y, int col_z,
+                    int col_agl, int k) {
+  const int64_t max_ring = 2 * edge + 1;
+  ParallelFor(n, 5000, [&](int64_t qlo, int64_t qhi) {
+    std::vector<double> best_d(k);
+    std::vector<int64_t> best_i(k);
+    for (int64_t q = qlo; q < qhi; ++q) {
+      double* row = data + q * width;
+      const double px = row[col_x], py = row[col_y];
+      const int64_t ci = std::max<int64_t>(
+          0, std::min<int64_t>(int64_t(std::floor((px - gmin_x) / cell)),
+                               edge - 1));
+      const int64_t cj = std::max<int64_t>(
+          0, std::min<int64_t>(int64_t(std::floor((py - gmin_y) / cell)),
+                               edge - 1));
+      // 4x4 fast path: with k <= 4 and a fully-valid 4x4 node block
+      // around the query's cell, the exact k-NN are INSIDE the block:
+      // any outside node is >= 2*cell away while the block's 4th-nearest
+      // is <= sqrt(2)*cell (the query cell's corners witness it) — a
+      // strict gap far beyond f64 rounding. Holes/borders take the ring
+      // scan below.
+      if (k <= 4 && ci >= 1 && ci + 2 < edge && cj >= 1 && cj + 2 < edge) {
+        double bd[4] = {kInf, kInf, kInf, kInf};
+        double bz[4] = {0.0, 0.0, 0.0, 0.0};
+        bool all_valid = true;
+        for (int64_t i = ci - 1; i <= ci + 2 && all_valid; ++i) {
+          const float* g = grid + i * edge + (cj - 1);
+          const double xo = double(i) * cell + gmin_x - px;
+          const double xo2 = xo * xo;
+          for (int t = 0; t < 4; ++t) {
+            const float z = g[t];
+            if (z == kNoData) {
+              all_valid = false;
+              break;
+            }
+            const double yo = double(cj - 1 + t) * cell + gmin_y - py;
+            const double d2 = xo2 + yo * yo;
+            int w = 0;
+            for (int u = 1; u < k; ++u)
+              if (bd[u] > bd[w]) w = u;
+            if (d2 < bd[w]) {
+              bd[w] = d2;
+              bz[w] = double(z);
+            }
+          }
+        }
+        if (all_valid) {
+          double sum = 0.0;
+          for (int t = 0; t < k; ++t) sum += bz[t];
+          row[col_agl] = row[col_z] - sum / k;
+          continue;
+        }
+      }
+      int have = 0;
+      double worst = kInf;
+      for (int64_t ring = 0; ring <= max_ring; ++ring) {
+        if (have == k && double(ring - 1) * cell > std::sqrt(worst)) break;
+        for (int64_t di = -ring; di <= ring; ++di) {
+          const int64_t i = ci + di;
+          if (i < 0 || i >= edge) continue;
+          // interior rows of the ring contribute only dj = +-ring
+          const int64_t step =
+              (std::llabs(di) != ring && ring > 0) ? 2 * ring : 1;
+          for (int64_t dj = -ring; dj <= ring; dj += step) {
+            const int64_t j = cj + dj;
+            if (j < 0 || j >= edge) continue;
+            const float z = grid[i * edge + j];
+            if (z == kNoData) continue;
+            const double ddx = double(i) * cell + gmin_x - px;
+            const double ddy = double(j) * cell + gmin_y - py;
+            const double d2 = ddx * ddx + ddy * ddy;
+            const int64_t node = i * edge + j;
+            if (have < k) {
+              best_d[have] = d2;
+              best_i[have] = node;
+              ++have;
+              if (have == k)
+                worst = *std::max_element(best_d.begin(), best_d.end());
+            } else if (d2 < worst) {
+              int64_t w = std::max_element(best_d.begin(), best_d.end()) -
+                          best_d.begin();
+              best_d[w] = d2;
+              best_i[w] = node;
+              worst = *std::max_element(best_d.begin(), best_d.end());
+            }
+          }
+        }
+      }
+      double sum = 0.0;
+      for (int t = 0; t < have; ++t) sum += double(grid[best_i[t]]);
+      row[col_agl] = have ? row[col_z] - sum / have : 0.0;
+    }
+  });
+}
+
+}  // namespace
+
+// Fused TILE load — the whole host side of eval/predict.py's load stage
+// in ONE ctypes call (VERDICT r4 item 5; reference chain:
+// /root/reference/prepare_data/process_data.py:96-123 load+noise,
+// /root/reference/prepare_data/dtm.py:22-160 DTM+AGL,
+// /root/reference/prepare_data/pointcloud_util.py:97-192 blocking):
+//
+//   1. LAS decode + noise filter + compacted (n_kept, width) matrix
+//      (identical to dtmgen_las_load);
+//   2. DTM rasterise over the kept points — region prelude replicates
+//      prepare/dtm.py::build_dtm (floor/ceil bounds +- dtm_buffer,
+//      square width, edge = floor(width/cell + 0.5)) bit-for-bit;
+//   3. AGL written into data[:, col_agl]: z minus the mean of the
+//      agl_k nearest valid DTM nodes in XY (lattice ring scan on dense
+//      grids; packed CellIndex kernel when <25% of nodes are valid;
+//      zeros when the grid has no valid node, matching gen_agl);
+//   4. XY window row-indexing (room2blocks grid mode,
+//      return_indices=True): origins sweep [lb, ub] at `stride`
+//      i-major; per-window candidate rows are emitted in STABLE-X-SORTED
+//      order — exactly _XYIndex.window's searchsorted-left/right slab +
+//      inclusive y test, so the caller's rng subsampling draws are
+//      byte-identical to the Python chain's.
+//
+// Outputs: data/labels as dtmgen_las_load; dtm_grid (edge*edge f32,
+// row=x, capacity cap_grid); win_counts (nwx*nwy, capacity cap_wins);
+// win_rows (concatenated candidates, capacity cap_rows — when
+// rows_needed > cap_rows the counts/meta are still valid and the caller
+// re-calls with a larger buffer); out_meta = [n_kept, nwx, nwy,
+// rows_needed, dtm_edge, agl_engine(0 lattice/1 cellindex/2 no-nodes)];
+// out_geo = [dtm_min_x, dtm_min_y, dtm_width, x_lb, x_ub, y_lb, y_ub].
+// Returns n_kept, or <0 on error (-1 decode args, -2 degenerate AGL
+// index, -3 cap_wins too small, -4 cap_grid too small).
+extern "C" int64_t dtmgen_tile_load(
+    const uint8_t* buf, int64_t n, int record_len, int point_format,
+    double sx, double sy, double sz, double ox, double oy, double oz,
+    double max_nn_dist, int width, int col_x, int col_y, int col_z,
+    const int32_t* extra, int n_extra,
+    double cell_size, double seed_cell, int boundary_width, int water,
+    int buildings, double dtm_buffer, int col_agl, int agl_k,
+    double block_size, double stride,
+    double* data, int64_t* labels,
+    float* dtm_grid, int64_t cap_grid,
+    int64_t* win_counts, int64_t cap_wins,
+    int64_t* win_rows, int64_t cap_rows,
+    int64_t* out_meta, double* out_geo) {
+  for (int t = 0; t < 6; ++t) out_meta[t] = 0;
+  for (int t = 0; t < 7; ++t) out_geo[t] = 0.0;
+  if (col_agl < 0 || col_agl >= width || agl_k <= 0 || cell_size <= 0 ||
+      block_size <= 0 || stride <= 0 || stride > block_size)
+    return -1;
+
+  const bool prof = std::getenv("DTMGEN_TILE_PROFILE") != nullptr;
+  auto now = [] {
+    return std::chrono::duration<double, std::milli>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+  };
+  double t0 = prof ? now() : 0.0;
+  auto mark = [&](const char* tag) {
+    if (!prof) return;
+    const double t = now();
+    std::fprintf(stderr, "[tile_load] %-8s %7.1f ms\n", tag, t - t0);
+    t0 = t;
+  };
+
+  std::vector<double> xyz;
+  const int64_t n_kept = LasLoadCore(
+      buf, n, record_len, point_format, sx, sy, sz, ox, oy, oz,
+      max_nn_dist, width, col_x, col_y, col_z, extra, n_extra, data,
+      labels, &xyz);
+  mark("decode");
+  if (n_kept <= 0) return n_kept;
+  out_meta[0] = n_kept;
+
+  // --- DTM region prelude (build_dtm, prepare/dtm.py:440-448) ---
+  double pmin_x = xyz[0], pmax_x = xyz[0], pmin_y = xyz[1], pmax_y = xyz[1];
+  for (int64_t i = 1; i < n_kept; ++i) {
+    pmin_x = std::min(pmin_x, xyz[i * 3]);
+    pmax_x = std::max(pmax_x, xyz[i * 3]);
+    pmin_y = std::min(pmin_y, xyz[i * 3 + 1]);
+    pmax_y = std::max(pmax_y, xyz[i * 3 + 1]);
+  }
+  const double dmin_x = std::floor(pmin_x) - dtm_buffer;
+  const double dmax_x = std::ceil(pmax_x) + dtm_buffer;
+  const double dmin_y = std::floor(pmin_y) - dtm_buffer;
+  const double dmax_y = std::ceil(pmax_y) + dtm_buffer;
+  const double dwidth = std::max(dmax_x - dmin_x, dmax_y - dmin_y);
+  const int64_t edge = int64_t(std::floor(dwidth / cell_size + 0.5));
+  if (edge <= 0 || edge * edge > cap_grid) return -4;
+  out_meta[4] = edge;
+  out_geo[0] = dmin_x;
+  out_geo[1] = dmin_y;
+  out_geo[2] = dwidth;
+  for (int64_t c = 0; c < edge * edge; ++c) dtm_grid[c] = kNoData;
+  ComputeDtm(xyz.data(), n_kept, dmin_x, dmin_y, cell_size, int(edge),
+             seed_cell, boundary_width, water != 0, buildings != 0,
+             dtm_grid);
+  mark("dtm");
+
+  // --- AGL into data[:, col_agl] ---
+  int64_t n_valid = 0;
+  for (int64_t c = 0; c < edge * edge; ++c)
+    n_valid += (dtm_grid[c] != kNoData);
+  if (n_valid == 0) {
+    // gen_agl contract: no ground nodes -> AGL is 0, not z
+    for (int64_t i = 0; i < n_kept; ++i) data[i * width + col_agl] = 0.0;
+    out_meta[5] = 2;
+  } else if (n_valid * 4 >= edge * edge) {
+    AglFromLattice(dtm_grid, edge, dmin_x, dmin_y, cell_size, data,
+                   n_kept, width, col_x, col_y, col_z, col_agl,
+                   int(std::min<int64_t>(agl_k, n_valid)));
+    out_meta[5] = 0;
+  } else {
+    // holey grid: pack the valid nodes and reuse the CellIndex kernel
+    // (its cell size adapts to the packed node count)
+    std::vector<double> nxy(size_t(n_valid) * 2);
+    std::vector<double> nz(static_cast<size_t>(n_valid));
+    int64_t m = 0;
+    for (int64_t i = 0; i < edge; ++i)
+      for (int64_t j = 0; j < edge; ++j) {
+        const float z = dtm_grid[i * edge + j];
+        if (z == kNoData) continue;
+        nxy[m * 2] = double(i) * cell_size + dmin_x;
+        nxy[m * 2 + 1] = double(j) * cell_size + dmin_y;
+        nz[m] = double(z);
+        ++m;
+      }
+    std::vector<double> qxy(size_t(n_kept) * 2);
+    std::vector<double> mean(static_cast<size_t>(n_kept));
+    for (int64_t i = 0; i < n_kept; ++i) {
+      qxy[i * 2] = data[i * width + col_x];
+      qxy[i * 2 + 1] = data[i * width + col_y];
+    }
+    if (dtmgen_agl_knn(nxy.data(), nz.data(), n_valid, qxy.data(), n_kept,
+                       int(std::min<int64_t>(agl_k, n_valid)),
+                       mean.data()))
+      return -2;
+    for (int64_t i = 0; i < n_kept; ++i)
+      data[i * width + col_agl] = data[i * width + col_z] - mean[i];
+    out_meta[5] = 1;
+  }
+
+  mark("agl");
+
+  // --- XY window row-indexing (room2blocks grid mode) ---
+  double x_lb = kInf, x_ub = -kInf, y_lb = kInf, y_ub = -kInf;
+  for (int64_t i = 0; i < n_kept; ++i) {
+    const double x = data[i * width + col_x], y = data[i * width + col_y];
+    x_lb = std::min(x_lb, x);
+    x_ub = std::max(x_ub, x);
+    y_lb = std::min(y_lb, y);
+    y_ub = std::max(y_ub, y);
+  }
+  out_geo[3] = x_lb;
+  out_geo[4] = x_ub;
+  out_geo[5] = y_lb;
+  out_geo[6] = y_ub;
+  const int64_t nwx = std::max<int64_t>(
+      int64_t(std::ceil(((x_ub - x_lb) - block_size) / stride)) + 1, 1);
+  const int64_t nwy = std::max<int64_t>(
+      int64_t(std::ceil(((y_ub - y_lb) - block_size) / stride)) + 1, 1);
+  out_meta[1] = nwx;
+  out_meta[2] = nwy;
+  const int64_t n_wins = nwx * nwy;
+  if (n_wins > cap_wins) return -3;
+
+  std::vector<double> keys(static_cast<size_t>(n_kept));
+  for (int64_t i = 0; i < n_kept; ++i) keys[i] = data[i * width + col_x];
+  std::vector<int64_t> order(static_cast<size_t>(n_kept));
+  dtmgen_argsort_f64(keys.data(), n_kept, order.data());
+  mark("argsort");
+  std::vector<double> xs(static_cast<size_t>(n_kept));
+  std::vector<double> ys(static_cast<size_t>(n_kept));
+  for (int64_t s = 0; s < n_kept; ++s) {
+    xs[s] = keys[order[s]];
+    ys[s] = data[order[s] * width + col_y];
+  }
+
+  std::vector<int64_t> w_lo(static_cast<size_t>(n_wins));
+  std::vector<int64_t> w_hi(static_cast<size_t>(n_wins));
+  ParallelFor(n_wins, 1, [&](int64_t wlo, int64_t whi) {
+    for (int64_t w = wlo; w < whi; ++w) {
+      const int64_t i = w / nwy, j = w % nwy;  // i-major origin order
+      const double x0 = x_lb + double(i) * stride;
+      const double y0 = y_lb + double(j) * stride;
+      const double x1 = x0 + block_size, y1 = y0 + block_size;
+      const int64_t lo =
+          std::lower_bound(xs.begin(), xs.end(), x0) - xs.begin();
+      const int64_t hi =
+          std::upper_bound(xs.begin(), xs.end(), x1) - xs.begin();
+      w_lo[w] = lo;
+      w_hi[w] = hi;
+      int64_t cnt = 0;
+      for (int64_t s = lo; s < hi; ++s)
+        cnt += (ys[s] >= y0 && ys[s] <= y1);
+      win_counts[w] = cnt;
+    }
+  });
+  std::vector<int64_t> w_off(size_t(n_wins) + 1, 0);
+  for (int64_t w = 0; w < n_wins; ++w)
+    w_off[w + 1] = w_off[w] + win_counts[w];
+  out_meta[3] = w_off[n_wins];
+  if (w_off[n_wins] <= cap_rows) {
+    ParallelFor(n_wins, 1, [&](int64_t wlo, int64_t whi) {
+      for (int64_t w = wlo; w < whi; ++w) {
+        const int64_t j = w % nwy;
+        const double y0 = y_lb + double(j) * stride;
+        const double y1 = y0 + block_size;
+        int64_t t = w_off[w];
+        for (int64_t s = w_lo[w]; s < w_hi[w]; ++s)
+          if (ys[s] >= y0 && ys[s] <= y1) win_rows[t++] = order[s];
+      }
+    });
+  }
+  mark("windows");
+  return n_kept;
 }
 
 #ifndef DTMGEN_NO_MAIN

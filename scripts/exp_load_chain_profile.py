@@ -74,3 +74,16 @@ serial = t_load + t_dtm + t_agl + t_blk
 overlap = t_load + max(t_dtm + t_agl, t_blk)
 print(f"serial total {serial*1e3:.1f} ms; production overlap bound "
       f"{overlap*1e3:.1f} ms (2+ cores)")
+
+# the round-5 fused native call (decode + noise + DTM + AGL + windows in
+# ONE ctypes pass — prepare/tile_load.py; DTMGEN_TILE_PROFILE=1 prints
+# per-stage times from inside the call)
+from dgcnn_tpu.prepare.tile_load import load_tile_las  # noqa: E402
+
+t_tl, tl = med(lambda: load_tile_las(las))
+if tl is None:
+    print("4. fused dtmgen_tile_load: unavailable")
+else:
+    print(f"4. fused dtmgen_tile_load: {t_tl*1e3:7.1f} ms "
+          f"(= {serial/t_tl:.2f}x the serial chain; agl engine "
+          f"{tl.agl_engine})")
