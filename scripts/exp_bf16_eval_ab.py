@@ -1,8 +1,11 @@
 """Interleaved full-forward A/B: compute_dtype='bfloat16' vs f32 at the
-production eval config, now that the fused stage kernels keep the bf16
-path (round-3's blanket gate made bf16 eval SLOWER, 34.5 vs 27.4 ms —
-it silently fell back to the XLA chain). Reps-in-jit + interleaved
-rounds (the only drift-robust method on the tunnelled chip)."""
+PRODUCTION eval config (knn_impl='pallas_capped' + banded kNN + fused
+stage kernels — the r5a run of this script accidentally used the
+DGCNNConfig default knn_impl='xla' and measured the XLA chain, a wash at
+143.9 vs 143.7 ms; VERDICT r4 item 3 wants the fused path, where
+round-4's bf16_mm kernels keep bf16 ON the fused kernels instead of
+round-3's silent fallback). Reps-in-jit + interleaved rounds (the only
+drift-robust method on the tunnelled chip)."""
 
 import sys
 
@@ -20,7 +23,8 @@ from dgcnn_tpu.models.dgcnn import DGCNNConfig, apply_dgcnn, init_dgcnn
 
 REPS = 6
 x = jnp.asarray(make_blocks())
-cfg32 = DGCNNConfig(num_classes=5, num_features=4, k=30, emb_dims=1024)
+cfg32 = DGCNNConfig(num_classes=5, num_features=4, k=30, emb_dims=1024,
+                    knn_impl="pallas_capped")
 cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
 params, state = init_dgcnn(jax.random.key(0), cfg32)
 

@@ -24,14 +24,20 @@ T = jnp.asarray(True)
 REPS = 8
 
 
-def timeit(f, *a):
-    float(f(*a))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(f(*a))
-        ts.append((time.perf_counter() - t0) / REPS)
-    return sorted(ts)[2] * 1e3
+def timeit_interleaved(fns, feat, rounds=6):
+    """Compile every candidate FIRST, then time them in interleaved
+    rounds — sequential per-config timing drifts on the tunnelled chip
+    (the r5a run of this script measured guard=512 FASTER than guard=0;
+    BASELINE.md round-5). Returns {name: median ms/call}."""
+    for f in fns.values():
+        float(f(feat))
+    times = {n: [] for n in fns}
+    for _ in range(rounds):
+        for n, f in fns.items():
+            t0 = time.perf_counter()
+            float(f(feat))
+            times[n].append((time.perf_counter() - t0) / REPS)
+    return {n: sorted(ts)[len(ts) // 2] * 1e3 for n, ts in times.items()}
 
 
 def make_guard(n_probe):
@@ -46,9 +52,11 @@ def make_guard(n_probe):
     return reps
 
 
-for n_probe in (0, 128, 256, 512):
+guard_ms = timeit_interleaved(
+    {n: make_guard(n) for n in (0, 128, 256, 512)}, feat)
+for n_probe, ms in guard_ms.items():
     print(f"feature-banded call, recall_guard={n_probe:3d}: "
-          f"{timeit(make_guard(n_probe), feat):5.2f} ms", flush=True)
+          f"{ms:5.2f} ms", flush=True)
 
 
 def make_raw(hi):
@@ -63,6 +71,7 @@ def make_raw(hi):
     return reps
 
 
-for hi in (False, True):
-    print(f"raw banded kernel, hi_prec={hi}: "
-          f"{timeit(make_raw(hi), feat):5.2f} ms", flush=True)
+raw_ms = timeit_interleaved({hi: make_raw(hi) for hi in (False, True)},
+                            feat)
+for hi, ms in raw_ms.items():
+    print(f"raw banded kernel, hi_prec={hi}: {ms:5.2f} ms", flush=True)
