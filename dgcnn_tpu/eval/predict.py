@@ -21,7 +21,7 @@ from dgcnn_tpu.prepare.dtm import build_dtm, gen_agl
 from dgcnn_tpu.prepare.loaders import load_pointcloud
 from dgcnn_tpu.prepare.tile_load import TileLoad, load_tile_las
 from dgcnn_tpu.eval.test import _restore
-from dgcnn_tpu.train.steps import make_predict_step
+from dgcnn_tpu.train.steps import make_guarded_predict_step
 from dgcnn_tpu.utils.logging import IOStream
 
 UNCLASSIFIED = 31
@@ -111,6 +111,7 @@ def predict(
     knn_band_feature: int | None = None,
     knn_band_recall_guard: int | None = None,
     knn_band_recall_threshold: float | None = None,
+    knn_band_guard_every: int | None = None,
     knn_share_stage3: bool = False,
     compute_dtype: str | None = None,
     matmul_precision: str | None = None,
@@ -157,12 +158,17 @@ def predict(
            else {"knn_band_recall_guard": knn_band_recall_guard}),
         **({} if knn_band_recall_threshold is None
            else {"knn_band_recall_threshold": knn_band_recall_threshold}),
+        **({} if knn_band_guard_every is None
+           else {"knn_band_guard_every": knn_band_guard_every}),
         **({} if ring_band_shards is None
            else {"ring_band_shards": ring_band_shards}),
         knn_share_stage3=bool(knn_share_stage3),
     )
     params, bn_state = _restore(cfg, model_root, model_label, io)
-    predict_step = make_predict_step(
+    # guarded wrapper: amortized feature-band recall guard with a sticky
+    # per-call fallback (inert unless cfg._guard_amortized); polls trip
+    # flags non-blocking, so the async dispatch window below is preserved
+    predict_step, _band_sched = make_guarded_predict_step(
         cfg, min_class_confidence=min_class_confidence,
         unclassified=UNCLASSIFIED,
     )

@@ -106,6 +106,7 @@ def test(
     knn_band_feature: int | None = None,
     knn_band_recall_guard: int | None = None,
     knn_band_recall_threshold: float | None = None,
+    knn_band_guard_every: int | None = None,
     knn_share_stage3: bool = False,
     compute_dtype: str | None = None,
     matmul_precision: str | None = None,
@@ -113,7 +114,7 @@ def test(
     validation_prop: float = 0.2,
 ) -> dict:
     """Evaluate a trained model; returns a metrics dict."""
-    from dgcnn_tpu.train.steps import make_predict_step
+    from dgcnn_tpu.train.steps import make_guarded_predict_step
 
     cfg = DGCNNConfig(
         num_classes=num_classes, num_features=num_features, k=k,
@@ -126,6 +127,8 @@ def test(
            else {"knn_band_recall_guard": knn_band_recall_guard}),
         **({} if knn_band_recall_threshold is None
            else {"knn_band_recall_threshold": knn_band_recall_threshold}),
+        **({} if knn_band_guard_every is None
+           else {"knn_band_guard_every": knn_band_guard_every}),
         knn_share_stage3=bool(knn_share_stage3),
     )
     dataset = FugroDataset(
@@ -138,7 +141,7 @@ def test(
     params, bn_state = _restore(cfg, model_root, model_label, io)
     total, table = count_parameters(params)
     io.cprint(table)
-    predict_step = make_predict_step(
+    predict_step, _band_sched = make_guarded_predict_step(
         cfg, min_class_confidence=min_class_confidence,
         unclassified=UNCLASSIFIED,
     )
@@ -304,6 +307,8 @@ def test_args(args, io: IOStream) -> dict:
                 args, "knn_band_recall_guard", None),
             knn_band_recall_threshold=getattr(
                 args, "knn_band_recall_threshold", None),
+            knn_band_guard_every=getattr(
+                args, "knn_band_guard_every", None),
             knn_share_stage3=getattr(args, "knn_share_stage3", False),
             compute_dtype=getattr(args, "compute_dtype", None),
             matmul_precision=getattr(args, "matmul_precision", None),
@@ -332,6 +337,7 @@ def test_args(args, io: IOStream) -> dict:
         knn_band_recall_guard=getattr(args, "knn_band_recall_guard", None),
         knn_band_recall_threshold=getattr(
             args, "knn_band_recall_threshold", None),
+        knn_band_guard_every=getattr(args, "knn_band_guard_every", None),
         knn_share_stage3=getattr(args, "knn_share_stage3", False),
         compute_dtype=getattr(args, "compute_dtype", None),
         matmul_precision=getattr(args, "matmul_precision", None),

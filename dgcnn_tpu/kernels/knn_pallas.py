@@ -1246,8 +1246,10 @@ def knn_pallas_feature_banded(
     unroll_merge: int = 0,
     recall_guard: int = 256,
     recall_threshold: float = 0.995,
+    guard_ok: jax.Array | None = None,
+    with_flag: bool = False,
     interpret: bool | None = None,
-) -> jax.Array:
+) -> jax.Array | tuple[jax.Array, jax.Array]:
     """FEATURE-space kNN over spatially-ordered rows, banded UNcertified.
 
     Stage-2/3 of DGCNN re-compute kNN in learned feature space
@@ -1284,6 +1286,18 @@ def knn_pallas_feature_banded(
     x-order does NOT localise the feature graph (e.g. vertically-
     dominant scenes) quality no longer degrades silently — the batch
     pays the full-kernel cost instead. ``recall_guard=0`` disables.
+
+    AMORTIZED guarding: ``guard_ok`` (a traced bool scalar) gates the
+    probe work at runtime — False skips every probe kernel via
+    ``lax.cond`` and keeps the banded result, so a host dispatch loop
+    can pay the guard on every Nth call only (the sticky-fallback
+    protocol lives in the step builders, train/steps.py). ``None``
+    (default) guards unconditionally — the graph is unchanged from the
+    per-batch-guard form. ``with_flag=True`` returns ``(idx, tripped)``
+    where ``tripped`` is True iff the guard MEASURED recall below the
+    threshold and the fallback was taken (the unsorted-input fallback
+    is NOT a trip: banding was never engaged); hosts use it to stop
+    trusting the band for subsequent unguarded dispatches.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1296,21 +1310,26 @@ def knn_pallas_feature_banded(
         raise ValueError(
             f"extraction capacity n_win*cap={n_win * cap} < k={k}")
     n_pad = _round_up(n, 128)
+    no_trip = jnp.zeros((), jnp.bool_)
     if n_pad <= band or band - (n_pad - n) < k:
-        return knn_pallas(x, k, packed=True,
-                          cap=cap if capped_cap is None else capped_cap,
-                          unroll_cap=min(unroll_cap, 1),
-                          unroll_merge=unroll_merge, interpret=interpret)
+        idx = knn_pallas(x, k, packed=True,
+                         cap=cap if capped_cap is None else capped_cap,
+                         unroll_cap=min(unroll_cap, 1),
+                         unroll_merge=unroll_merge, interpret=interpret)
+        return (idx, no_trip) if with_flag else idx
     if query_tile is None:
         query_tile = (512 if band <= 2048 else _default_query_tile(True))
     qt = min(query_tile, band)
     x = jax.lax.stop_gradient(x)
 
-    def _capped(_):
+    def _capped_idx():
         return knn_pallas(x, k, packed=True,
                           cap=cap if capped_cap is None else capped_cap,
                           unroll_cap=min(unroll_cap, 1),
                           unroll_merge=unroll_merge, interpret=interpret)
+
+    def _capped(_):
+        return _capped_idx(), no_trip
 
     def _banded(_):
         idx, _keys = _knn_banded_jit(
@@ -1319,7 +1338,7 @@ def knn_pallas_feature_banded(
             interpret=interpret, hi_prec=True,
         )
         if not recall_guard:
-            return idx
+            return idx, no_trip
         s = min(recall_guard, n)
 
         def _probe_recall(s_probe: int, probe_qt: "int | None"):
@@ -1339,21 +1358,30 @@ def knn_pallas_feature_banded(
             return jnp.mean(hit.astype(jnp.float32))
 
         def _keep(_):
-            return idx
+            return idx, no_trip
 
         def _fall_on(recall):
             def _fall(_):
                 if _recall_warn_ok(interpret):
                     jax.debug.callback(_feature_band_recall_warn, recall)
-                return _capped(None)
+                return _capped_idx(), jnp.ones((), jnp.bool_)
 
             return _fall
+
+        def _gated(probe):
+            # amortized mode: skip the probe kernels entirely when the
+            # host didn't ask for a guarded dispatch (recall reads as
+            # perfect -> the keep branch, zero probe work executed)
+            if guard_ok is None:
+                return probe(None)
+            return jax.lax.cond(
+                guard_ok, probe, lambda _: jnp.float32(1.0), None)
 
         thr = jnp.float32(recall_threshold)
         s0 = min(64, s)
         if s0 >= s:
             # small guard: single-stage, at the narrow probe tile
-            recall = _probe_recall(s, 64)
+            recall = _gated(lambda _: _probe_recall(s, 64))
             return jax.lax.cond(recall >= thr, _keep, _fall_on(recall),
                                 None)
         # TWO-STAGE sequential probe (VERDICT r4 item 4): a 64-probe
@@ -1373,7 +1401,7 @@ def knn_pallas_feature_banded(
         # high — above the fallback threshold by definition, so never a
         # silent quality class change.
         escalate_thr = jnp.float32(1.0 - (1.0 - recall_threshold) / 2.0)
-        recall_a = _probe_recall(s0, 64)
+        recall_a = _gated(lambda _: _probe_recall(s0, 64))
 
         def _escalate(_):
             recall_b = _probe_recall(s, None)
@@ -1383,7 +1411,8 @@ def knn_pallas_feature_banded(
         return jax.lax.cond(recall_a >= escalate_thr, _keep, _escalate,
                             None)
 
-    return jax.lax.cond(sorted_ok, _banded, _capped, None)
+    idx, tripped = jax.lax.cond(sorted_ok, _banded, _capped, None)
+    return (idx, tripped) if with_flag else idx
 
 
 @functools.partial(

@@ -132,6 +132,22 @@ class DGCNNConfig:
     # feature graph (the sortedness gate can't see that). 0 disables.
     knn_band_recall_guard: int = 256
     knn_band_recall_threshold: float = 0.995
+    # AMORTIZED guard cadence: the step builders (train/steps.py) pay the
+    # recall guard's probe cost only on every Nth host dispatch (the
+    # others skip the probe kernels via a runtime lax.cond on a band-mode
+    # scalar input) with a STICKY host-side fallback — a guarded dispatch
+    # that measures recall below the threshold falls back in-graph AND
+    # flips every later dispatch of that loop to the full capped kernel
+    # (predict/test: for the rest of the call; train: for the rest of the
+    # epoch — features move during training, so banding re-arms each
+    # epoch). 1 = guard every dispatch (the round-4 behaviour; no extra
+    # step input). Exposure window: dispatches already queued when a trip
+    # is detected, plus the N-1 unguarded dispatches per period — on
+    # healthy geometry guarded and unguarded results are BIT-IDENTICAL
+    # (the guard only costs time), so the amortization changes nothing
+    # unless the data is out-of-distribution mid-loop. Direct
+    # apply_dgcnn() calls without a band_mode input guard every call.
+    knn_band_guard_every: int = 8
     # Banded RING kNN for the point-sharded path (parallel/ring_knn.py):
     # the spatial stage-1 ring visits only the 2s+1 ring-adjacent shards
     # instead of all d, CERTIFIED per query against the x-sorted
@@ -162,8 +178,9 @@ class DGCNNConfig:
     # Fused eval EdgeConv stage kernels with in-kernel gather
     # (kernels/edgeconv_pallas.py): the (B,N,k,C) gathered tensor never
     # touches HBM — measured ~2x per stage vs the XLA chain, bit-exact.
-    # "auto" = on for TPU eval at f32 (off under compute_dtype/bfloat16 and
-    # under matmul_precision="highest", the pure-XLA parity mode).
+    # "auto" = on for TPU eval at f32 AND compute_dtype="bfloat16" (the
+    # kernels take a bf16_mm flag since round 4; off only under
+    # matmul_precision="highest", the pure-XLA parity mode).
     fuse_epilogue: "bool | str" = "auto"
     # Training BN batch-stat reduction: "one_pass" fuses mean/var into a
     # single sweep of each (B,N,k,C) stage tensor (default; ~1e-6 numeric
@@ -242,6 +259,27 @@ class DGCNNConfig:
             raise ValueError(
                 f"knn_band_recall_threshold "
                 f"{self.knn_band_recall_threshold!r} must be in [0, 1]")
+        if (not isinstance(self.knn_band_guard_every, int)
+                or isinstance(self.knn_band_guard_every, bool)
+                or self.knn_band_guard_every < 1):
+            raise ValueError(
+                f"knn_band_guard_every {self.knn_band_guard_every!r} "
+                "must be a positive int (1 = guard every dispatch)")
+        if self.compute_dtype == "bfloat16":
+            import warnings
+
+            # measured round 5 (BASELINE.md r5b): bf16 EVAL is slightly
+            # slower than f32 even with the bf16_mm fused kernels (the
+            # stage kernels are gather-issue-bound, not matmul-bound),
+            # train is ~4% faster; outputs leave the reference-parity
+            # class. Opt-in with eyes open.
+            warnings.warn(
+                "compute_dtype='bfloat16' measured SLOWER than f32 at "
+                "eval on v5e (the fused stage kernels are gather-issue-"
+                "bound; BASELINE.md round-5) and ~4% faster at train; "
+                "outputs leave the f32 reference-parity class.",
+                stacklevel=3,
+            )
         for f_ in ("ring_band_shards", "ring_band_feature_shards"):
             v = getattr(self, f_)
             if not isinstance(v, int) or isinstance(v, bool) or v < 0:
@@ -280,6 +318,23 @@ class DGCNNConfig:
     @property
     def _cdtype(self):
         return None if self.compute_dtype is None else jnp.dtype(self.compute_dtype)
+
+    @property
+    def _guard_amortized(self) -> bool:
+        """Whether the step builders thread a band-mode scalar input
+        (amortized recall guarding + sticky host fallback). Requires the
+        feature-banded path to actually be reachable: an explicit
+        pallas_capped impl, or auto resolving to it on TPU (an auto
+        config whose table later exceeds the VMEM budget traces the XLA
+        chain instead — the band-mode input is then unused, harmless)."""
+        return (
+            self.knn_band_guard_every > 1
+            and self.knn_band_feature > 0
+            and self.knn_band_recall_guard > 0
+            and (self.knn_impl == "pallas_capped"
+                 or (self.knn_impl == "auto"
+                     and jax.default_backend() == "tpu"))
+        )
 
 
 def _vmem_table_ok(n: int, c: int) -> bool:
@@ -405,11 +460,22 @@ def _mm(x: jax.Array, w: jax.Array, cdtype) -> jax.Array:
 
 def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
          spatial: bool = False,
-         sorted_ok: jax.Array | None = None) -> jax.Array:
+         sorted_ok: jax.Array | None = None,
+         guard_ok: jax.Array | None = None,
+         with_flag: bool = False) -> jax.Array:
     """``sorted_ok``: traced bool — are the underlying POINTS x-sorted?
     Computed once in _apply_dgcnn from the coordinates; enables the
     feature-banded kernel for the non-spatial stages (the feature table
-    itself carries no sortedness information)."""
+    itself carries no sortedness information).
+
+    ``guard_ok``/``with_flag``: amortized recall guarding — passed
+    through to :func:`knn_pallas_feature_banded` (see there). With
+    ``with_flag`` the return is ``(idx, tripped)``; every non-feature-
+    banded branch reports ``tripped=False`` (nothing to guard)."""
+
+    def _ret(idx):
+        return (idx, jnp.zeros((), jnp.bool_)) if with_flag else idx
+
     impl = cfg.knn_impl
     # capped/banded cap-loop structure: python-unrolled (0) in eval (and
     # in train when the warm marker resolved knn_train_unroll), fori (1)
@@ -437,14 +503,14 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
         # stages (2-3) band UNcertified at knn_band_feature (below).
         from dgcnn_tpu.kernels.knn_pallas import knn_pallas_banded
 
-        return checkpoint_name(
+        return _ret(checkpoint_name(
             knn_pallas_banded(
                 x, cfg.k, band=cfg.knn_band, cap=cfg.knn_band_cap,
                 n_win=cfg.knn_band_nwin, capped_cap=cfg.knn_cap,
                 unroll_cap=unroll_cap,
             ),
             "pt",
-        )
+        ))
     if (impl == "pallas_capped" and not spatial and cfg.knn_band_feature
             and sorted_ok is not None):
         # Stages 2-3 re-knn in FEATURE space; features are spatially
@@ -455,17 +521,18 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
         # runtime when the points are not x-sorted.
         from dgcnn_tpu.kernels.knn_pallas import knn_pallas_feature_banded
 
-        return checkpoint_name(
-            knn_pallas_feature_banded(
-                x, cfg.k, sorted_ok=sorted_ok,
-                band=cfg.knn_band_feature, cap=cfg.knn_band_cap,
-                n_win=cfg.knn_band_nwin, capped_cap=cfg.knn_cap,
-                unroll_cap=unroll_cap,
-                recall_guard=cfg.knn_band_recall_guard,
-                recall_threshold=cfg.knn_band_recall_threshold,
-            ),
-            "pt",
+        res = knn_pallas_feature_banded(
+            x, cfg.k, sorted_ok=sorted_ok,
+            band=cfg.knn_band_feature, cap=cfg.knn_band_cap,
+            n_win=cfg.knn_band_nwin, capped_cap=cfg.knn_cap,
+            unroll_cap=unroll_cap,
+            recall_guard=cfg.knn_band_recall_guard,
+            recall_threshold=cfg.knn_band_recall_threshold,
+            guard_ok=guard_ok, with_flag=with_flag,
         )
+        if with_flag:
+            return checkpoint_name(res[0], "pt"), res[1]
+        return checkpoint_name(res, "pt")
     if impl == "pallas":
         # Bit-exact parity mode at capped-extraction speed: certified
         # banded scan on sorted stage-1 coordinates, full-width windowed
@@ -475,18 +542,18 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
         # knn_pallas_exact; /root/reference/model.py:25-40 semantics).
         from dgcnn_tpu.kernels.knn_pallas import knn_pallas_exact
 
-        return checkpoint_name(
+        return _ret(checkpoint_name(
             knn_pallas_exact(
                 x, cfg.k,
                 band=cfg.knn_band if spatial else 0,
                 unroll_cap=unroll_cap,
             ),
             "pt",
-        )
+        ))
     if impl in ("pallas_packed", "pallas_capped"):
         from dgcnn_tpu.kernels.knn_pallas import knn_pallas
 
-        return checkpoint_name(
+        return _ret(checkpoint_name(
             knn_pallas(
                 x, cfg.k,
                 packed=impl in ("pallas_packed", "pallas_capped"),
@@ -500,7 +567,7 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
                 unroll_cap=unroll_cap,
             ),
             "pt",
-        )
+        ))
     if impl == "approx":
         idx = knn(x, cfg.k, query_chunk=cfg.knn_query_chunk, approx=True)
     elif impl == "xla":
@@ -509,12 +576,12 @@ def _knn(x: jax.Array, cfg: DGCNNConfig, *, train: bool = False,
         raise ValueError(f"unknown knn_impl {impl!r}")
     # 'pt' residuals are what selective remat keeps (train/steps.py):
     # per-point tensors + these indices; (B,N,k,.) tensors are recomputed
-    return checkpoint_name(idx, "pt")
+    return _ret(checkpoint_name(idx, "pt"))
 
 
 def _edge_stage_two_conv(
     x, cfg, params, state, names, *, train, sorted_ok=None,
-    return_idx=False
+    return_idx=False, guard_ok=None, with_flag=False
 ):
     """EdgeConv stage with two convs (stages 1 and 2): decomposed first conv,
     BN+LReLU, k-expanded second conv, BN+LReLU, max over k. In eval mode
@@ -525,17 +592,21 @@ def _edge_stage_two_conv(
 
     Returns ``(out, bn_updates)``, plus the stage's neighbour indices when
     ``return_idx`` (the ``knn_share_stage3`` path hands stage 2's graph to
-    stage 3)."""
+    stage 3), plus the guard's tripped flag when ``with_flag`` (always
+    last)."""
     conv_a, bn_a, conv_b, bn_b = names
     cd = cfg._cdtype
     # stage 1 ("conv1") sees raw coordinates — the banded spatial kernel
     # applies there only (stages 2-3 re-knn in feature space)
-    idx = _knn(x, cfg, train=train, spatial=conv_a == "conv1",
-               sorted_ok=sorted_ok)
+    res = _knn(x, cfg, train=train, spatial=conv_a == "conv1",
+               sorted_ok=sorted_ok, guard_ok=guard_ok,
+               with_flag=with_flag)
+    idx, flag = res if with_flag else (res, None)
     out, upd = _two_conv_body(
         x, idx, cfg, params, state, (conv_a, bn_a, conv_b, bn_b),
         train=train, cd=cd)
-    return (out, upd, idx) if return_idx else (out, upd)
+    parts = (out, upd) + ((idx,) if return_idx else ())
+    return parts + ((flag,) if with_flag else ())
 
 
 def _two_conv_body(x, idx, cfg, params, state, names, *, train, cd):
@@ -590,17 +661,28 @@ def _two_conv_body(x, idx, cfg, params, state, names, *, train, cd):
 
 
 def _edge_stage_single_conv(
-    x, cfg, params, state, *, train, sorted_ok=None, idx=None
+    x, cfg, params, state, *, train, sorted_ok=None, idx=None,
+    guard_ok=None, with_flag=False
 ) -> tuple[jax.Array, BNState]:
     """Stage 3 (conv5 only). Eval mode folds max-over-k through BN+LReLU:
     both are per-channel monotone (increasing iff the BN scale >= 0), so
     max_j act(BN(e_j)) = act(BN(max-or-min_j e_j)) selected by sign(gamma).
     Training materialises the (B,N,k,64) activations since BN batch stats
     range over the k axis. A precomputed ``idx`` (the ``knn_share_stage3``
-    path: stage 2's graph) skips this stage's kNN."""
+    path: stage 2's graph) skips this stage's kNN. ``with_flag`` appends
+    the guard's tripped flag to the return tuple (False when ``idx`` was
+    precomputed — no kNN call to guard)."""
     cd = cfg._cdtype
+    flag = jnp.zeros((), jnp.bool_) if with_flag else None
     if idx is None:
-        idx = _knn(x, cfg, train=train, sorted_ok=sorted_ok)
+        res = _knn(x, cfg, train=train, sorted_ok=sorted_ok,
+                   guard_ok=guard_ok, with_flag=with_flag)
+        idx, flag = res if with_flag else (res, None)
+    if with_flag:
+        out, upd = _edge_stage_single_conv(
+            x, cfg, params, state, train=train, sorted_ok=sorted_ok,
+            idx=idx)
+        return out, upd, flag
     if train:
         if cfg.stage_tail_fused and cfg.bn_stats == "one_pass":
             # decomposed form of edge_conv_linear (same einsums, bit-
@@ -660,13 +742,18 @@ def apply_dgcnn(
     rng: jax.Array | None = None,
     depth: int = 10,
     with_logits: bool = False,
+    band_mode: jax.Array | None = None,
+    with_band_flag: bool = False,
 ) -> tuple[jax.Array, BNState] | tuple[tuple[jax.Array, jax.Array], BNState]:
     if cfg.matmul_precision is not None:
         with jax.default_matmul_precision(cfg.matmul_precision):
             return _apply_dgcnn(params, state, x, cfg, train=train, rng=rng,
-                                depth=depth, with_logits=with_logits)
+                                depth=depth, with_logits=with_logits,
+                                band_mode=band_mode,
+                                with_band_flag=with_band_flag)
     return _apply_dgcnn(params, state, x, cfg, train=train, rng=rng,
-                        depth=depth, with_logits=with_logits)
+                        depth=depth, with_logits=with_logits,
+                        band_mode=band_mode, with_band_flag=with_band_flag)
 
 
 def _apply_dgcnn(
@@ -679,6 +766,8 @@ def _apply_dgcnn(
     rng: jax.Array | None = None,
     depth: int = 10,
     with_logits: bool = False,
+    band_mode: jax.Array | None = None,
+    with_band_flag: bool = False,
 ) -> tuple[jax.Array, BNState] | tuple[tuple[jax.Array, jax.Array], BNState]:
     """Forward pass.
 
@@ -698,6 +787,17 @@ def _apply_dgcnn(
             return ((logits, tap), new_state) in one pass — the visualiser
             needs both and a second forward would double the cost
             (/root/reference/visualisation.py:104-110 intended semantics).
+        band_mode: traced int32 scalar for AMORTIZED recall guarding of
+            the feature-banded kNN (None = guard every call, the
+            unchanged graph): 0 = banded, probes skipped this dispatch;
+            1 = banded, probes run (a "guarded" dispatch); 2 = force the
+            full capped kernel (the host's sticky fallback after a trip).
+        with_band_flag: return ((out, band_tripped), new_state) where
+            ``band_tripped`` is True iff a guarded feature-banded call
+            measured recall below the threshold this dispatch (the
+            in-graph fallback already handled THIS batch; hosts use the
+            flag to stop trusting the band). Requires depth == 10 and
+            not ``with_logits`` (only the step builders use it).
 
     Returns:
         (output, new_state), or ((logits, tap), new_state) with
@@ -709,6 +809,9 @@ def _apply_dgcnn(
         )
     if not 1 <= depth <= 10:
         raise ValueError(f"depth must be in 1..10, got {depth}")
+    if with_band_flag and (depth != 10 or with_logits):
+        raise ValueError(
+            "with_band_flag requires depth=10 and with_logits=False")
     cd = cfg._cdtype
     new_state = dict(state)
 
@@ -716,9 +819,16 @@ def _apply_dgcnn(
     # kNN (stages 2-3) keys on spatial row order, which the feature tables
     # themselves cannot reveal. None (knob off) keeps the graph unchanged.
     sorted_ok = None
+    guard_ok = None
     if cfg.knn_band_feature:
         x0c = x[..., 0]
         sorted_ok = jnp.all(x0c[:, 1:] >= x0c[:, :-1])
+        if band_mode is not None:
+            # mode 2 (host sticky fallback) rides the existing unsorted
+            # fallback: sorted_ok=False selects the full capped kernel
+            # at runtime in the same program
+            sorted_ok = jnp.logical_and(sorted_ok, band_mode < 2)
+            guard_ok = band_mode == 1
 
     x1, upd = _edge_stage_two_conv(
         x, cfg, params, state, ("conv1", "bn1", "conv2", "bn2"), train=train
@@ -732,7 +842,8 @@ def _apply_dgcnn(
     share3 = cfg.knn_share_stage3
     res2 = _edge_stage_two_conv(
         x1, cfg, params, state, ("conv3", "bn3", "conv4", "bn4"),
-        train=train, sorted_ok=sorted_ok, return_idx=share3
+        train=train, sorted_ok=sorted_ok, return_idx=share3,
+        guard_ok=guard_ok, with_flag=with_band_flag
     )
     x2, upd = res2[0], res2[1]
     new_state.update(upd)
@@ -741,9 +852,15 @@ def _apply_dgcnn(
             return x2, new_state
         tap = x2
 
-    x3, upd = _edge_stage_single_conv(x2, cfg, params, state, train=train,
-                                      sorted_ok=sorted_ok,
-                                      idx=res2[2] if share3 else None)
+    res3 = _edge_stage_single_conv(x2, cfg, params, state, train=train,
+                                   sorted_ok=sorted_ok,
+                                   idx=res2[2] if share3 else None,
+                                   guard_ok=guard_ok,
+                                   with_flag=with_band_flag)
+    x3, upd = res3[0], res3[1]
+    band_tripped = None
+    if with_band_flag:
+        band_tripped = jnp.logical_or(res2[-1], res3[-1])
     new_state.update(upd)
     if depth == 3:
         if not with_logits:
@@ -828,6 +945,10 @@ def _apply_dgcnn(
     logits = _mm(h, params["conv9"]["w"], cd)
     if with_logits:
         return (logits, logits if depth >= 10 else tap), new_state
+    if with_band_flag:
+        if band_tripped is None:  # banding off: nothing can trip
+            band_tripped = jnp.zeros((), jnp.bool_)
+        return (logits, band_tripped), new_state
     return logits, new_state
 
 

@@ -98,6 +98,7 @@ def train(
     knn_band_feature: int | None = None,
     knn_band_recall_guard: int | None = None,
     knn_band_recall_threshold: float | None = None,
+    knn_band_guard_every: int | None = None,
     knn_share_stage3: bool = False,
     compute_dtype: str | None = None,
     matmul_precision: str | None = None,
@@ -133,6 +134,8 @@ def train(
            else {"knn_band_recall_guard": knn_band_recall_guard}),
         **({} if knn_band_recall_threshold is None
            else {"knn_band_recall_threshold": knn_band_recall_threshold}),
+        **({} if knn_band_guard_every is None
+           else {"knn_band_guard_every": knn_band_guard_every}),
         knn_share_stage3=bool(knn_share_stage3),
     )
     train_data = FugroDataset(
@@ -196,6 +199,7 @@ def train(
         cfg.knn_band, cfg.knn_band_feature, cfg.knn_share_stage3,
         cfg.knn_band_cap, cfg.knn_band_nwin,
         cfg.knn_band_recall_guard, cfg.knn_band_recall_threshold,
+        cfg.knn_band_guard_every,
     )
     if knn_train_unroll == "auto":
         knn_train_unroll = is_warm(unroll_key)
@@ -335,12 +339,27 @@ def train(
         train_step = make_sharded_train_step(cfg, tx, mesh,
                                              smoothing=smoothing)
         eval_step = make_sharded_eval_step(cfg, mesh, smoothing=smoothing)
+        # the point-sharded forward builds exact per-stage ring-kNN graphs
+        # (parallel/ring_knn.py cert) — no feature band to guard
+        band_sched = val_band_sched = None
     else:
+        # amortized feature-band recall guard (steps.py::
+        # BandGuardScheduler): guard every Nth train step, sticky
+        # fallback for the rest of the EPOCH on a trip, re-armed each
+        # epoch (the learned features move between epochs)
+        from dgcnn_tpu.train.steps import (
+            BandGuardScheduler,
+            make_guarded_eval_step,
+        )
+
+        band_sched = BandGuardScheduler(cfg)
         train_step = make_train_step(
             cfg, tx, smoothing=smoothing, device_masks=device_masks,
             exclude_classes=exclude, remat=remat, grad_accum=grad_accum,
+            band_guard=band_sched.active,
         )
-        eval_step = make_eval_step(cfg, smoothing=smoothing)
+        eval_step, val_band_sched = make_guarded_eval_step(
+            cfg, smoothing=smoothing)
     # one scalar log per RUN: non-zero processes would race process 0 on
     # the same event/JSONL files (shared fs) for byte-identical values
     writer = (ScalarWriter(os.path.join(tb_dir, exp_name))
@@ -365,9 +384,20 @@ def train(
                 _device_put_sharded((b.points, b.labels, b.mask), mesh),
             ),
         )
+        if band_sched is not None:
+            band_sched.rearm()
         for batch, (pts, labels, mask) in batch_iter:
-            state, metrics = train_step(state, pts, labels, mask)
+            guarded = False
+            if band_sched is not None and band_sched.active:
+                mode, guarded = band_sched.next_mode()
+                state, metrics = train_step(state, pts, labels, mask, mode)
+            else:
+                state, metrics = train_step(state, pts, labels, mask)
             loss = float(metrics["loss"])
+            if guarded:
+                # the loss pull above already synced this step — reading
+                # the trip flag is free
+                band_sched.observe(metrics["band_tripped"])
             if not np.isfinite(loss):
                 # failure detection: a non-finite loss poisons Adam moments
                 # and every later step — stop loudly instead of training on
@@ -399,6 +429,8 @@ def train(
 
         # validation (falls back to train metrics when no split exists)
         if val_data is not None:
+            if val_band_sched is not None:
+                val_band_sched.rearm()
             cm_sum = np.zeros((num_classes, num_classes))
             loss_sum, count = 0.0, 0
             for batch in val_data.batches(
@@ -521,6 +553,7 @@ def train_args(args, io: IOStream) -> dict:
         knn_band=getattr(args, "knn_band", None),
         knn_band_feature=getattr(args, "knn_band_feature", None),
         knn_band_recall_guard=getattr(args, "knn_band_recall_guard", None),
+        knn_band_guard_every=getattr(args, "knn_band_guard_every", None),
         knn_band_recall_threshold=getattr(
             args, "knn_band_recall_threshold", None),
         knn_share_stage3=getattr(args, "knn_share_stage3", False),

@@ -33,6 +33,78 @@ from dgcnn_tpu.ops.losses import masked_smoothed_cross_entropy
 from dgcnn_tpu.ops.metrics import confusion_matrix
 
 
+class BandGuardScheduler:
+    """Host side of the AMORTIZED feature-band recall guard
+    (``DGCNNConfig.knn_band_guard_every``): pay the guard's probe kernels
+    on every Nth dispatch (``band_mode=1``), skip them on the others
+    (``band_mode=0``), and go STICKY to the full capped kernel
+    (``band_mode=2``) for the rest of the loop once a guarded dispatch
+    measures recall below the threshold. Trip flags are polled
+    NON-blocking (``jax.Array.is_ready``) so async dispatch loops
+    (eval/predict.py keeps a window of in-flight batches) never sync on
+    the guard; a trip therefore applies from the first dispatch issued
+    after its flag lands — the exposure window is the already-queued
+    dispatches plus up to N-1 unguarded dispatches per guard period (on
+    healthy geometry guarded and unguarded dispatches are BIT-IDENTICAL;
+    the in-graph fallback already protected the tripping batch itself).
+    ``rearm()`` re-trusts the band: training calls it each epoch because
+    the learned features move between epochs.
+
+    ``active`` is False when the config doesn't amortize
+    (``cfg._guard_amortized``); every method is then inert, so callers
+    can construct one unconditionally."""
+
+    def __init__(self, cfg: DGCNNConfig):
+        self.every = int(getattr(cfg, "knn_band_guard_every", 1))
+        self.active = bool(cfg._guard_amortized)
+        self._i = 0
+        self._tripped = False
+        self._pending: list = []
+
+    @property
+    def tripped(self) -> bool:
+        """Whether any guarded dispatch so far measured a recall failure
+        (BLOCKS on still-in-flight guard flags)."""
+        self._poll(block=True)
+        return self._tripped
+
+    def _poll(self, block: bool = False) -> None:
+        still = []
+        for f in self._pending:
+            ready = block
+            if not ready:
+                is_ready = getattr(f, "is_ready", None)
+                ready = is_ready() if callable(is_ready) else True
+            if ready:
+                if bool(f):
+                    self._tripped = True
+            else:
+                still.append(f)
+        self._pending = still
+
+    def next_mode(self) -> tuple[jax.Array, bool]:
+        """``(band_mode int32 scalar, guarded)`` for the next dispatch.
+        When ``guarded``, the caller must hand the dispatch's trip flag
+        back via :meth:`observe`."""
+        self._poll()
+        if self._tripped:
+            mode, guarded = 2, False
+        elif self._i % self.every == 0:
+            mode, guarded = 1, True
+        else:
+            mode, guarded = 0, False
+        self._i += 1
+        return jnp.asarray(mode, jnp.int32), guarded
+
+    def observe(self, flag: jax.Array) -> None:
+        self._pending.append(flag)
+
+    def rearm(self) -> None:
+        self._i = 0
+        self._tripped = False
+        self._pending = []
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TrainState:
@@ -142,6 +214,7 @@ def make_train_step(
     exclude_classes: tuple[int, ...] = (),
     remat: "bool | str" = False,
     grad_accum: int = 1,
+    band_guard: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -149,6 +222,13 @@ def make_train_step(
     and returns ``(new_state, metrics)`` where metrics holds the scalar loss
     and a (C, C) confusion matrix over masked points (accumulate matrices on
     host and derive accuracy / balanced accuracy / IoU at logging time).
+
+    ``band_guard=True`` (the train loop passes ``cfg._guard_amortized``)
+    adds a trailing ``band_mode`` int32-scalar argument (see
+    ``apply_dgcnn``) and a ``metrics["band_tripped"]`` bool — the host
+    side of the amortized feature-band recall guard
+    (:class:`BandGuardScheduler`). The train loop already syncs per step
+    on ``float(metrics["loss"])``, so reading the flag costs nothing.
 
     ``grad_accum > 1`` splits the leading batch axis into that many
     micro-batches, runs them through a ``lax.scan`` accumulating gradients
@@ -188,9 +268,10 @@ def make_train_step(
                 f"got {remat!r}"
             ) from None
 
-    def _fwd(params, bn_state, points, rng):
+    def _fwd(params, bn_state, points, rng, band_mode=None):
         return apply_dgcnn(params, bn_state, points, cfg, train=True,
-                           rng=rng)
+                           rng=rng, band_mode=band_mode,
+                           with_band_flag=band_guard)
 
     if remat == "selective":
         fwd = jax.checkpoint(
@@ -204,14 +285,16 @@ def make_train_step(
     else:
         fwd = _fwd
 
-    def loss_fn(params, bn_state, points, labels, mask, rng):
-        logits, new_bn = fwd(params, bn_state, points, rng)
+    def loss_fn(params, bn_state, points, labels, mask, rng,
+                band_mode=None):
+        out, new_bn = fwd(params, bn_state, points, rng, band_mode)
+        logits, tripped = out if band_guard else (out, None)
         loss = masked_smoothed_cross_entropy(
             logits, labels, mask, smoothing=smoothing
         )
-        return loss, (new_bn, logits)
+        return loss, (new_bn, logits, tripped)
 
-    def step(state: TrainState, points, labels, mask):
+    def step(state: TrainState, points, labels, mask, band_mode=None):
         rng, dropout_rng = jax.random.split(state.rng)
         if device_masks:
             rng, mask_rng = jax.random.split(rng)
@@ -219,10 +302,10 @@ def make_train_step(
                 mask_rng, labels, cfg.num_classes, exclude_classes
             )
         if grad_accum == 1:
-            (loss, (new_bn, logits)), grads = jax.value_and_grad(
+            (loss, (new_bn, logits, tripped)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, state.bn_state, points, labels, mask,
-              dropout_rng)
+              dropout_rng, band_mode)
             pred = jnp.argmax(logits, axis=-1)
             cm = confusion_matrix(pred, labels, cfg.num_classes,
                                   weights=mask)
@@ -244,20 +327,23 @@ def make_train_step(
                                 jnp.float32)
 
             def body(carry, xs):
-                bn, gacc, lacc, cmacc = carry
+                bn, gacc, lacc, cmacc, tacc = carry
                 pts_i, lbl_i, msk_i, key_i = xs
-                (l_i, (bn, logits)), g_i = jax.value_and_grad(
+                (l_i, (bn, logits, t_i)), g_i = jax.value_and_grad(
                     loss_fn, has_aux=True
-                )(state.params, bn, pts_i, lbl_i, msk_i, key_i)
+                )(state.params, bn, pts_i, lbl_i, msk_i, key_i, band_mode)
                 gacc = jax.tree_util.tree_map(jnp.add, gacc, g_i)
                 pred = jnp.argmax(logits, axis=-1)
                 cmacc = cmacc + confusion_matrix(
                     pred, lbl_i, cfg.num_classes, weights=msk_i)
-                return (bn, gacc, lacc + l_i, cmacc), None
+                if band_guard:
+                    tacc = jnp.logical_or(tacc, t_i)
+                return (bn, gacc, lacc + l_i, cmacc, tacc), None
 
-            (new_bn, grads, loss, cm), _ = jax.lax.scan(
+            (new_bn, grads, loss, cm, tripped), _ = jax.lax.scan(
                 body,
-                (state.bn_state, zero_grads, jnp.float32(0.0), zero_cm),
+                (state.bn_state, zero_grads, jnp.float32(0.0), zero_cm,
+                 jnp.zeros((), jnp.bool_)),
                 (split_mb(points), split_mb(labels), split_mb(mask), keys),
             )
             inv = 1.0 / grad_accum
@@ -266,6 +352,8 @@ def make_train_step(
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, "confusion": cm}
+        if band_guard:
+            metrics["band_tripped"] = tripped
         new_state = TrainState(
             params=new_params,
             bn_state=new_bn,
@@ -279,16 +367,23 @@ def make_train_step(
 
 
 @functools.lru_cache(maxsize=32)
-def make_eval_step(cfg: DGCNNConfig, *, smoothing: bool = True) -> Callable:
+def make_eval_step(cfg: DGCNNConfig, *, smoothing: bool = True,
+                   band_flag: bool = False) -> Callable:
     """Jitted eval step: running-stat BN, loss on logits, full-point
     confusion matrix (reference validation loop /root/reference/
     train.py:254-297, minus its double-softmax loss bug). ``mask`` weights
     both the loss and the confusion matrix so padded/duplicated points in
-    pad-collated batches are not scored (None = all points valid)."""
+    pad-collated batches are not scored (None = all points valid).
+
+    ``band_flag=True`` (internal — :func:`make_guarded_eval_step` wraps
+    it) adds a trailing ``band_mode`` argument and a
+    ``"band_tripped"`` output key (amortized recall guard)."""
 
     @jax.jit
-    def step(params, bn_state, points, labels, mask=None):
-        logits, _ = apply_dgcnn(params, bn_state, points, cfg, train=False)
+    def step(params, bn_state, points, labels, mask=None, band_mode=None):
+        out, _ = apply_dgcnn(params, bn_state, points, cfg, train=False,
+                             band_mode=band_mode, with_band_flag=band_flag)
+        logits, tripped = out if band_flag else (out, None)
         if mask is None:
             mask = jnp.ones(labels.shape, jnp.float32)
         loss = masked_smoothed_cross_entropy(
@@ -296,16 +391,45 @@ def make_eval_step(cfg: DGCNNConfig, *, smoothing: bool = True) -> Callable:
         )
         pred = jnp.argmax(logits, axis=-1)
         cm = confusion_matrix(pred, labels, cfg.num_classes, weights=mask)
-        return {"loss": loss, "confusion": cm, "pred": pred, "logits": logits}
+        res = {"loss": loss, "confusion": cm, "pred": pred,
+               "logits": logits}
+        if band_flag:
+            res["band_tripped"] = tripped
+        return res
 
     return step
 
 
+def make_guarded_eval_step(
+    cfg: DGCNNConfig, *, smoothing: bool = True,
+) -> "tuple[Callable, BandGuardScheduler]":
+    """``(step, scheduler)``: drop-in for :func:`make_eval_step` that runs
+    the amortized sticky recall-guard protocol when
+    ``cfg._guard_amortized`` (otherwise the plain memoised step and an
+    inert scheduler). The wrapper keeps the plain call signature and
+    output dict; ``band_mode`` plumbing and trip-flag observation happen
+    inside. Call ``scheduler.rearm()`` to re-trust the band (e.g. at the
+    start of each validation pass — the model's features changed)."""
+    sched = BandGuardScheduler(cfg)
+    if not sched.active:
+        return make_eval_step(cfg, smoothing=smoothing), sched
+    inner = make_eval_step(cfg, smoothing=smoothing, band_flag=True)
+
+    def step(params, bn_state, points, labels, mask=None):
+        mode, guarded = sched.next_mode()
+        out = dict(inner(params, bn_state, points, labels, mask, mode))
+        tripped = out.pop("band_tripped")
+        if guarded:
+            sched.observe(tripped)
+        return out
+
+    return step, sched
+
+
 @functools.lru_cache(maxsize=32)
-@functools.lru_cache(maxsize=8)
 def make_predict_step(
     cfg: DGCNNConfig, *, min_class_confidence: float = 0.8,
-    unclassified: int = 31,
+    unclassified: int = 31, band_flag: bool = False,
 ) -> Callable:
     """Jitted inference step with the reference's confidence thresholding:
     points whose max softmax probability is below ``min_class_confidence``
@@ -321,12 +445,47 @@ def make_predict_step(
     to seconds per call at the production config's program size)."""
 
     @jax.jit
-    def step(params, bn_state, points):
-        logits, _ = apply_dgcnn(params, bn_state, points, cfg, train=False)
+    def step(params, bn_state, points, band_mode=None):
+        out, _ = apply_dgcnn(params, bn_state, points, cfg, train=False,
+                             band_mode=band_mode, with_band_flag=band_flag)
+        logits, tripped = out if band_flag else (out, None)
         probs = jax.nn.softmax(logits, axis=-1)
         conf = jnp.max(probs, axis=-1)
         pred = jnp.argmax(probs, axis=-1)
         pred = jnp.where(conf < min_class_confidence, unclassified, pred)
-        return pred.astype(jnp.int32), probs, logits
+        pred = pred.astype(jnp.int32)
+        if band_flag:
+            return pred, probs, logits, tripped
+        return pred, probs, logits
 
     return step
+
+
+def make_guarded_predict_step(
+    cfg: DGCNNConfig, *, min_class_confidence: float = 0.8,
+    unclassified: int = 31,
+) -> "tuple[Callable, BandGuardScheduler]":
+    """``(step, scheduler)``: drop-in for :func:`make_predict_step` that
+    runs the amortized sticky recall-guard protocol when
+    ``cfg._guard_amortized`` (otherwise the plain memoised step and an
+    inert scheduler). The wrapper keeps the plain 3-tuple return and
+    never syncs: trip flags are polled non-blocking, so the async
+    dispatch window in eval/predict.py is preserved."""
+    sched = BandGuardScheduler(cfg)
+    if not sched.active:
+        return make_predict_step(
+            cfg, min_class_confidence=min_class_confidence,
+            unclassified=unclassified), sched
+    inner = make_predict_step(
+        cfg, min_class_confidence=min_class_confidence,
+        unclassified=unclassified, band_flag=True)
+
+    def step(params, bn_state, points):
+        mode, guarded = sched.next_mode()
+        pred, probs, logits, tripped = inner(params, bn_state, points,
+                                             mode)
+        if guarded:
+            sched.observe(tripped)
+        return pred, probs, logits
+
+    return step, sched

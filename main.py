@@ -129,6 +129,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--knn_band_recall_threshold", type=float, default=None,
                    help="recall threshold for --knn_band_recall_guard "
                         "(default 0.995)")
+    p.add_argument("--knn_band_guard_every", type=int, default=None,
+                   help="AMORTIZE the feature-band recall guard: run the "
+                        "probe kernels only on every Nth dispatch, with a "
+                        "sticky host-side fallback to the full capped "
+                        "kernel for the rest of the loop (train: rest of "
+                        "the epoch) when a guarded dispatch trips. Unset = "
+                        "the DGCNNConfig default; 1 guards every dispatch")
     p.add_argument("--knn_share_stage3", type=str2bool, default=False,
                    help="reuse stage 2's neighbour graph for stage 3 "
                         "instead of re-kNN'ing in x2 feature space (the "
@@ -322,6 +329,7 @@ def main(argv=None):
                 knn_band_feature=args.knn_band_feature,
                 knn_band_recall_guard=args.knn_band_recall_guard,
                 knn_band_recall_threshold=args.knn_band_recall_threshold,
+                knn_band_guard_every=args.knn_band_guard_every,
                 knn_share_stage3=args.knn_share_stage3,
                 compute_dtype=args.compute_dtype,
                 matmul_precision=args.matmul_precision,

@@ -311,7 +311,7 @@ def test_knn_train_unroll_auto_marker(tmp_path, monkeypatch):
     key = cc.warm_key("train-unroll", 2, 32, 5, 4, 32, 0.5, "xla", None,
                       None, 2, 1, False, True, False, (), False, 0.001,
                       0.9, "cos", 1, 1, 8, False, 1, False,
-                      2048, 4096, False, 6, 64, 256, 0.995)
+                      2048, 4096, False, 6, 64, 256, 0.995, 8)
     assert not cc.is_warm(key)
     train(2, io, model_root=str(tmp_path / "m1"),
           knn_train_unroll="1", **kwargs)
@@ -320,7 +320,7 @@ def test_knn_train_unroll_auto_marker(tmp_path, monkeypatch):
     other = cc.warm_key("train-unroll", 3, 32, 5, 4, 32, 0.5, "xla", None,
                         None, 2, 1, False, True, False, (), False, 0.001,
                         0.9, "cos", 1, 1, 8, False, 1, False,
-                        2048, 4096, False, 6, 64, 256, 0.995)
+                        2048, 4096, False, 6, 64, 256, 0.995, 8)
     assert not cc.is_warm(other)
     # graph-construction knobs are part of the key too: the share3
     # program (2 kNN calls vs 3) must not inherit the default's marker
