@@ -187,6 +187,9 @@ def bench_jax() -> dict:
             pps = B * N / dt
             res = {"sec_per_batch": dt, "points_per_sec": pps,
                    "compile_s": compile_s,
+                   # the cadence THIS arm actually dispatched at (None =
+                   # no amortized guard in the arm's config)
+                   "band_guard_every": every if amort else None,
                    "trials_ms": [round(t * 1e3, 2) for t in trials]}
             log(f"jax {tag}: {dt*1e3:.2f} ms/batch (B={B},N={N}) "
                 f"[{trials[0]*1e3:.1f}..{trials[-1]*1e3:.1f} ms over "
@@ -323,10 +326,15 @@ def bench_train_step() -> float | None:
         float(m["loss"])
         rt = _roundtrip_s()
         # async-dispatch the whole trial, sync once on the last loss
-        # (steps chain through the donated state anyway); median of 3
+        # (steps chain through the donated state anyway); median of 3.
+        # iters == guard period so EVERY trial contains exactly one
+        # guarded (probe-running) dispatch — a shorter trial would let
+        # the median exclude the probe cost the cadence comment claims
+        # to measure (the warm call is dispatch 0, so trials cover
+        # 1..8, 9..16, 17..24)
         trials = []
         for _ in range(3):
-            iters = 5
+            iters = every if amort else 5
             t0 = time.perf_counter()
             for _ in range(iters):
                 state, m = call(state)
@@ -456,12 +464,10 @@ def main():
         # record (<0.9 flags a slow chip session; headline re-measured
         # once when tripped).
         "capped_over_approx": round(ratio, 3) if ratio else None,
-        # capped/share3 arms dispatch at the production amortized
-        # recall-guard cadence (probe kernels every Nth forward;
-        # train/steps.py BandGuardScheduler)
-        "band_guard_every": __import__("dgcnn_tpu.models.dgcnn", fromlist=[
-            "DGCNNConfig"]).DGCNNConfig.__dataclass_fields__[
-            "knn_band_guard_every"].default,
+        # the cadence the capped arm actually dispatched at (amortized
+        # recall guard: probe kernels every Nth forward; train/steps.py
+        # BandGuardScheduler)
+        "band_guard_every": results["pallas-capped"].get("band_guard_every"),
         "record_capped_over_approx": RECORD_CAPPED_OVER_APPROX,
         "session_drift": round(session_drift, 3),
         "drift_remeasured": drift_remeasured,

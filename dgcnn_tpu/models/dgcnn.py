@@ -946,8 +946,8 @@ def _apply_dgcnn(
     if with_logits:
         return (logits, logits if depth >= 10 else tap), new_state
     if with_band_flag:
-        if band_tripped is None:  # banding off: nothing can trip
-            band_tripped = jnp.zeros((), jnp.bool_)
+        # depth==10 is enforced above, so stages 2-3 always ran and
+        # band_tripped is always set (zero flags when banding is off)
         return (logits, band_tripped), new_state
     return logits, new_state
 

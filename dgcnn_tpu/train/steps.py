@@ -54,12 +54,19 @@ class BandGuardScheduler:
     (``cfg._guard_amortized``); every method is then inert, so callers
     can construct one unconditionally."""
 
+    # dispatches a pending unpolled trip flag may age before observe()
+    # force-drains it (blocking): flags are produced once per guard
+    # period, so by the time this many have queued the oldest is long
+    # since computed and the bool() is effectively free
+    _MAX_PENDING = 32
+
     def __init__(self, cfg: DGCNNConfig):
         self.every = int(getattr(cfg, "knn_band_guard_every", 1))
         self.active = bool(cfg._guard_amortized)
         self._i = 0
         self._tripped = False
         self._pending: list = []
+        self._modes = None  # lazily-built device constants for 0/1/2
 
     @property
     def tripped(self) -> bool:
@@ -74,7 +81,12 @@ class BandGuardScheduler:
             ready = block
             if not ready:
                 is_ready = getattr(f, "is_ready", None)
-                ready = is_ready() if callable(is_ready) else True
+                # unknown array types (no is_ready): KEEP pending rather
+                # than bool()-blocking here — a silent sync would collapse
+                # the async dispatch window this polling exists to protect;
+                # observe()'s _MAX_PENDING drain and .tripped's block=True
+                # path still consume them
+                ready = is_ready() if callable(is_ready) else False
             if ready:
                 if bool(f):
                     self._tripped = True
@@ -94,10 +106,19 @@ class BandGuardScheduler:
         else:
             mode, guarded = 0, False
         self._i += 1
-        return jnp.asarray(mode, jnp.int32), guarded
+        if self._modes is None:
+            # cached device constants — a fresh jnp.asarray per dispatch
+            # would pay a host->device transfer on every step
+            self._modes = tuple(jnp.asarray(m, jnp.int32)
+                                for m in (0, 1, 2))
+        return self._modes[mode], guarded
 
     def observe(self, flag: jax.Array) -> None:
         self._pending.append(flag)
+        if len(self._pending) > self._MAX_PENDING:
+            old = self._pending.pop(0)
+            if bool(old):  # blocks; see _MAX_PENDING
+                self._tripped = True
 
     def rearm(self) -> None:
         self._i = 0

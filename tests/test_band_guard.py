@@ -163,6 +163,45 @@ def test_scheduler_false_flags_do_not_stick():
     assert int(sched.next_mode()[0]) == 1
 
 
+def test_scheduler_unknown_flag_types_never_silently_block():
+    """Flag objects without .is_ready (future array types) must stay
+    PENDING on non-blocking polls — a bool() there would collapse the
+    async dispatch window. The _MAX_PENDING cap drains the oldest
+    (blocking, but on a long-computed flag) and .tripped drains all."""
+
+    class FakeFlag:
+        def __init__(self, val):
+            self.val = val
+            self.evaluated = False
+
+        def __bool__(self):
+            self.evaluated = True
+            return self.val
+
+    sched = BandGuardScheduler(DGCNNConfig(**GCFG))
+    flags = [FakeFlag(False) for _ in range(sched._MAX_PENDING)]
+    for f in flags:
+        sched.observe(f)
+    sched.next_mode()  # non-blocking poll
+    assert not any(f.evaluated for f in flags)  # nothing synced
+    assert len(sched._pending) == sched._MAX_PENDING
+    # one more observation drains the oldest (and only the oldest)
+    sched.observe(FakeFlag(True))
+    assert flags[0].evaluated and not flags[1].evaluated
+    # the blocking property consumes everything, finds the True flag
+    assert sched.tripped
+    assert not sched._pending
+
+
+def test_scheduler_mode_constants_cached():
+    sched = BandGuardScheduler(DGCNNConfig(**GCFG))
+    m_a, _ = sched.next_mode()
+    for _ in range(3):
+        sched.next_mode()
+    m_b, _ = sched.next_mode()
+    assert m_a is m_b  # same cached device constant, no per-step upload
+
+
 def test_scheduler_inert_when_not_amortized():
     cfg = DGCNNConfig(**{**GCFG, "knn_band_guard_every": 1})
     assert not cfg._guard_amortized
