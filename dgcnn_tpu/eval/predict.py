@@ -349,7 +349,7 @@ def predict(
         start = bi * batch_size
         all_pred[start : start + batch_size] = np.asarray(pred)[:nreal]
 
-    for bi, start in enumerate(range(0, n_blocks, batch_size)):
+    def _assemble(start):
         chunk = data[block_idx[start : start + batch_size]].astype(
             np.float32
         )
@@ -358,12 +358,49 @@ def predict(
         pad = batch_size - len(chunk)
         if pad:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        return chunk, pad
+
+    for bi, start in enumerate(range(0, n_blocks, batch_size)):
+        chunk, pad = _assemble(start)
         pred, _, _ = predict_step(params, bn_state, chunk[:, :, :num_features])
         in_flight.append((bi, pred, batch_size - pad))
         if len(in_flight) > window:
             _drain_one()
     while in_flight:
         _drain_one()
+
+    # Retroactive repair of the amortized guard's exposure window: if a
+    # guarded dispatch measured a recall failure, every UNGUARDED banded
+    # batch issued after the last clean guard is re-run with the full
+    # capped kernel (band_mode=2; the SAME memoised jit program the
+    # wrapper used) and overwritten — batches are pure functions of
+    # block_idx, so re-dispatch is exact. Healthy runs pay one poll of
+    # already-computed flags. See BandGuardScheduler.suspect_dispatches.
+    redo = _band_sched.suspect_dispatches()
+    if redo:
+        import jax.numpy as jnp
+
+        from dgcnn_tpu.train.steps import make_predict_step
+
+        io.cprint(
+            f"feature-band recall guard tripped: re-running {len(redo)} "
+            "unguarded batch(es) with the full kNN kernel (retroactive "
+            "repair of the amortization window)"
+        )
+        inner = make_predict_step(
+            cfg, min_class_confidence=min_class_confidence,
+            unclassified=UNCLASSIFIED, band_flag=True,
+        )
+        m2 = jnp.asarray(2, jnp.int32)
+        for bi in redo:
+            start = bi * batch_size
+            chunk, pad = _assemble(start)
+            pred, _, _, _ = inner(
+                params, bn_state, chunk[:, :, :num_features], m2
+            )
+            all_pred[start : start + batch_size] = np.asarray(pred)[
+                : batch_size - pad
+            ]
 
     merged_pts = []
     merged_pred = []

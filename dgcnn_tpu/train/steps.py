@@ -47,6 +47,11 @@ class BandGuardScheduler:
     dispatches plus up to N-1 unguarded dispatches per guard period (on
     healthy geometry guarded and unguarded dispatches are BIT-IDENTICAL;
     the in-graph fallback already protected the tripping batch itself).
+    Loops that can re-run batches close that window RETROACTIVELY via
+    :meth:`suspect_dispatches` (predict() re-runs the suspect batches
+    with the full kernel and overwrites — every result is then either
+    probe-guarded itself, full-kernel, or bracketed by clean guards on
+    both sides).
     ``rearm()`` re-trusts the band: training calls it each epoch because
     the learned features move between epochs.
 
@@ -65,8 +70,11 @@ class BandGuardScheduler:
         self.active = bool(cfg._guard_amortized)
         self._i = 0
         self._tripped = False
-        self._pending: list = []
+        self._pending: list = []  # (dispatch_idx, flag) in dispatch order
         self._modes = None  # lazily-built device constants for 0/1/2
+        self._modes_log: list = []  # int mode per dispatch index
+        self._guard_queue: list = []  # guarded idxs awaiting observe()
+        self._last_clean = -1  # idx of last guarded dispatch seen clean
 
     @property
     def tripped(self) -> bool:
@@ -75,9 +83,15 @@ class BandGuardScheduler:
         self._poll(block=True)
         return self._tripped
 
+    def _resolve(self, idx: int, failed: bool) -> None:
+        if failed:
+            self._tripped = True
+        else:
+            self._last_clean = max(self._last_clean, idx)
+
     def _poll(self, block: bool = False) -> None:
         still = []
-        for f in self._pending:
+        for idx, f in self._pending:
             ready = block
             if not ready:
                 is_ready = getattr(f, "is_ready", None)
@@ -88,10 +102,9 @@ class BandGuardScheduler:
                 # path still consume them
                 ready = is_ready() if callable(is_ready) else False
             if ready:
-                if bool(f):
-                    self._tripped = True
+                self._resolve(idx, bool(f))
             else:
-                still.append(f)
+                still.append((idx, f))
         self._pending = still
 
     def next_mode(self) -> tuple[jax.Array, bool]:
@@ -105,6 +118,9 @@ class BandGuardScheduler:
             mode, guarded = 1, True
         else:
             mode, guarded = 0, False
+        if guarded:
+            self._guard_queue.append(self._i)
+        self._modes_log.append(mode)
         self._i += 1
         if self._modes is None:
             # cached device constants — a fresh jnp.asarray per dispatch
@@ -114,16 +130,37 @@ class BandGuardScheduler:
         return self._modes[mode], guarded
 
     def observe(self, flag: jax.Array) -> None:
-        self._pending.append(flag)
+        # flags arrive in dispatch order (one observe per guarded
+        # next_mode); pair each with its guarded dispatch index
+        idx = self._guard_queue.pop(0) if self._guard_queue else self._i - 1
+        self._pending.append((idx, flag))
         if len(self._pending) > self._MAX_PENDING:
-            old = self._pending.pop(0)
-            if bool(old):  # blocks; see _MAX_PENDING
-                self._tripped = True
+            old_idx, old = self._pending.pop(0)
+            self._resolve(old_idx, bool(old))  # blocks; see _MAX_PENDING
+
+    def suspect_dispatches(self) -> list:
+        """After a dispatch loop has fully drained: the dispatch indices
+        whose results a trip calls into question — every unguarded banded
+        (mode-0) dispatch issued after the last guarded dispatch that
+        measured CLEAN. Empty when no guard ever tripped (the healthy
+        path costs one poll of already-computed flags; BLOCKS only on
+        flags still in flight). Callers close the amortization exposure
+        window retroactively by re-running these with ``band_mode=2`` and
+        overwriting (eval/predict.py does) — every result is then either
+        probe-guarded itself, full-kernel, or bracketed by clean guards."""
+        self._poll(block=True)
+        if not self._tripped:
+            return []
+        return [i for i, m in enumerate(self._modes_log)
+                if m == 0 and i > self._last_clean]
 
     def rearm(self) -> None:
         self._i = 0
         self._tripped = False
         self._pending = []
+        self._modes_log = []
+        self._guard_queue = []
+        self._last_clean = -1
 
 
 @jax.tree_util.register_dataclass

@@ -202,6 +202,52 @@ def test_scheduler_mode_constants_cached():
     assert m_a is m_b  # same cached device constant, no per-step upload
 
 
+def test_suspect_dispatches_window():
+    """The retroactive-repair window: a trip at guarded dispatch G makes
+    every mode-0 dispatch after the last CLEAN guard suspect; dispatches
+    before it (bracketed by clean guards) and post-trip mode-2
+    dispatches are not."""
+    sched = BandGuardScheduler(DGCNNConfig(**GCFG))  # every=4
+    # dispatch 0: guarded, observed clean
+    assert sched.next_mode()[1]
+    sched.observe(jnp.asarray(False))
+    # dispatches 1-3: mode 0
+    for _ in range(3):
+        mode, guarded = sched.next_mode()
+        assert int(mode) == 0 and not guarded
+    # dispatch 4: guarded, observed TRIPPED
+    assert sched.next_mode()[1]
+    sched.observe(jnp.asarray(True))
+    # dispatches 5-6: sticky mode 2
+    for _ in range(2):
+        assert int(sched.next_mode()[0]) == 2
+    assert sched.suspect_dispatches() == [1, 2, 3]
+    # rearm clears the window bookkeeping
+    sched.rearm()
+    assert sched.suspect_dispatches() == []
+
+
+def test_suspect_dispatches_first_guard_trips():
+    """No clean guard ever observed: every mode-0 dispatch issued while
+    the first flag was in flight is suspect."""
+    sched = BandGuardScheduler(DGCNNConfig(**GCFG))
+    sched.next_mode()  # 0: guarded
+    flag = jnp.asarray(True)
+    for _ in range(3):  # 1-3 dispatched before the flag is observed
+        sched.next_mode()
+    sched.observe(flag)
+    assert sched.suspect_dispatches() == [1, 2, 3]
+
+
+def test_suspect_dispatches_empty_when_healthy():
+    sched = BandGuardScheduler(DGCNNConfig(**GCFG))
+    for _ in range(9):
+        _, guarded = sched.next_mode()
+        if guarded:
+            sched.observe(jnp.asarray(False))
+    assert sched.suspect_dispatches() == []
+
+
 def test_scheduler_inert_when_not_amortized():
     cfg = DGCNNConfig(**{**GCFG, "knn_band_guard_every": 1})
     assert not cfg._guard_amortized
@@ -363,6 +409,84 @@ def test_train_step_band_guard_flag(guarded_model):
     # runs and reports no trip
     _, metrics0 = step_g(ts, x, labels, mask, jnp.asarray(0, jnp.int32))
     assert not bool(metrics0["band_tripped"])
+
+
+def test_train_step_band_guard_composes_with_accum_and_remat():
+    """band_mode/flag plumbing must survive the grad-accum lax.scan carry
+    and the jax.checkpoint wrapper. Small config (banding falls back to
+    capped below the band size — the plumbing is what's under test)."""
+    cfg = DGCNNConfig(**{**GCFG, "emb_dims": 32})
+    params, state = init_dgcnn(jax.random.key(0), cfg)
+    x = _sorted_input(b=2, n=64)
+    labels = jnp.zeros(x.shape[:2], jnp.int32)
+    mask = jnp.ones(x.shape[:2], jnp.float32)
+    tx = make_optimizer(lr=1e-3, scheduler="none")
+    for kwargs in ({"grad_accum": 2}, {"remat": "selective"},
+                   {"remat": True, "grad_accum": 2}):
+        ts = init_train_state(jax.random.key(0), cfg, tx)
+        step = make_train_step(cfg, tx, band_guard=True, donate=False,
+                               **kwargs)
+        _, metrics = step(ts, x, labels, mask, jnp.asarray(1, jnp.int32))
+        assert np.isfinite(float(metrics["loss"])), kwargs
+        assert not bool(metrics["band_tripped"]), kwargs
+
+
+def test_predict_retroactive_repair_plumbing(tmp_path, monkeypatch):
+    """predict()'s repair pass re-assembles suspect batches bit-exactly:
+    with a forced suspect list (banding inert at this size, so mode-2
+    re-runs are bit-identical to the originals) the repaired output must
+    equal the untouched run, proving the re-dispatch hits the same rows
+    with the same batch assembly."""
+    import importlib
+
+    # the package re-exports the predict FUNCTION under the same name,
+    # which shadows the submodule on attribute-style imports
+    P = importlib.import_module("dgcnn_tpu.eval.predict")
+    from dgcnn_tpu.io.las import write_las
+    from dgcnn_tpu.train.checkpoint import save_checkpoint
+    from dgcnn_tpu.train.steps import init_train_state, make_optimizer
+    from dgcnn_tpu.utils.logging import IOStream
+
+    rng = np.random.default_rng(0)
+    n = 6000  # >=1000 pts per 20 m block (the reference rejection rule)
+    xy = rng.random((n, 2)) * 35
+    z = 0.05 * xy[:, 0] + rng.normal(0, 0.1, n)
+    las = tmp_path / "tile.las"
+    write_las(str(las), xy[:, 0] + 5e5, xy[:, 1] + 6e6, z, np.full(n, 2))
+
+    cfg = DGCNNConfig(num_classes=3, num_features=4, k=6, emb_dims=32,
+                      knn_impl="pallas_capped", knn_band=0,
+                      knn_band_feature=256, knn_band_recall_guard=16,
+                      knn_band_guard_every=4)
+    tx = make_optimizer()
+    state = init_train_state(jax.random.key(0), cfg, tx)
+    save_checkpoint(str(tmp_path / "m.npz"), state)
+    io = IOStream(str(tmp_path / "log.txt"))
+    kwargs = dict(
+        num_points=64, num_classes=3, num_features=4, emb_dims=32,
+        model_label="m", model_root=str(tmp_path),
+        knn_impl="pallas_capped", knn_band=0, knn_band_feature=256,
+        knn_band_recall_guard=16, knn_band_guard_every=4,
+        min_class_confidence=0.0, batch_size=2, block_size=20.0,
+    )
+    _, pred_ref = P.predict(6, io, str(las), str(tmp_path / "a.las"),
+                            **kwargs)
+
+    forced: dict = {}
+
+    def fake_suspects(self):
+        # claim batches 0 and 1 are suspect exactly once (the repair run)
+        if forced.pop("arm", None):
+            return [0, 1]
+        return []
+
+    monkeypatch.setattr(BandGuardScheduler, "suspect_dispatches",
+                        fake_suspects)
+    forced["arm"] = True
+    _, pred_fix = P.predict(6, io, str(las), str(tmp_path / "b.las"),
+                            **kwargs)
+    assert not forced  # the repair pass consumed the forced list
+    np.testing.assert_array_equal(pred_fix, pred_ref)
 
 
 def test_cli_flag_parses():
