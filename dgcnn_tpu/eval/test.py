@@ -157,20 +157,18 @@ def test(
     room_preds: dict[int, list] = defaultdict(list)
     room_truth: dict[int, list] = defaultdict(list)
     dumps: dict[int, list] = defaultdict(list)
-    for batch in dataset.batches(
-        test_batch_size, shuffle=False, drop_last=False, with_mask=False
-    ):
-        pred, _, logits = predict_step(params, bn_state, batch.points)
-        pred = np.asarray(pred)
-        logits = np.asarray(logits)
-        cm += np.asarray(
+    def _fold(batch, pred, logits):
+        """One batch's metric contributions: ``(cm_contribution,
+        [(room, pred_rows, truth_rows, dump_row), ...])`` — a pure
+        function of (batch, pred, logits), so a guard-repair re-run can
+        REPLACE them exactly."""
+        bcm = np.asarray(
             confusion_matrix(np.minimum(pred, num_classes), batch.labels,
                              num_classes + 1, weights=batch.mask)
         )
+        entries = []
         for i, room in enumerate(np.asarray(batch.room_idx)):
             valid = batch.mask[i] > 0
-            room_preds[int(room)].append(pred[i][valid])
-            room_truth[int(room)].append(batch.labels[i][valid])
             row = [batch.points[i][valid][:, :3], pred[i][valid, None]]
             if dump_logits:
                 # columns 3:6 = real non-xyz input features (AGL/rni when
@@ -185,7 +183,70 @@ def test(
                        pred[i][valid, None],
                        batch.labels[i][valid, None].astype(float),
                        logits[i][valid]]
-            dumps[int(room)].append(np.hstack(row))
+            entries.append((int(room), pred[i][valid],
+                            batch.labels[i][valid], np.hstack(row)))
+        return bcm, entries
+
+    def batch_iter():
+        return dataset.batches(
+            test_batch_size, shuffle=False, drop_last=False,
+            with_mask=False,
+        )
+
+    batch_cms: list = []    # per-dispatch cm contribution (repair undo)
+    batch_slots: list = []  # per-dispatch [(room, list position), ...]
+    # snapshot the per-sample subsampling RNG: batch ORDER is epoch-keyed,
+    # but each __getitem__ draws its point subset from this stateful
+    # generator — restoring it makes the repair re-enumeration bit-equal
+    _rng_state = dataset.rng.bit_generator.state
+    for batch in batch_iter():
+        pred, _, logits = predict_step(params, bn_state, batch.points)
+        bcm, entries = _fold(batch, np.asarray(pred), np.asarray(logits))
+        cm += bcm
+        batch_cms.append(bcm)
+        slots = []
+        for room, p, t, dump_row in entries:
+            slots.append((room, len(room_preds[room])))
+            room_preds[room].append(p)
+            room_truth[room].append(t)
+            dumps[room].append(dump_row)
+        batch_slots.append(slots)
+
+    # Retroactive repair of the amortized guard's exposure window
+    # (mirrors eval/predict.py): with the sampler RNG restored the batch
+    # stream re-enumerates bit-identically, so suspect dispatches re-run
+    # with the full capped kernel (band_mode=2 — the SAME memoised jit
+    # program the wrapper used) and REPLACE their metric contributions;
+    # the reported metrics then carry no unguarded banded result.
+    # Healthy runs pay one poll of already-computed flags. See
+    # BandGuardScheduler.suspect_dispatches.
+    redo = set(_band_sched.suspect_dispatches())
+    if redo:
+        dataset.rng.bit_generator.state = _rng_state
+        from dgcnn_tpu.train.steps import make_predict_step
+
+        io.cprint(
+            f"feature-band recall guard tripped: re-scoring {len(redo)} "
+            "unguarded batch(es) with the full kNN kernel (retroactive "
+            "repair of the amortization window)"
+        )
+        inner = make_predict_step(
+            cfg, min_class_confidence=min_class_confidence,
+            unclassified=UNCLASSIFIED, band_flag=True,
+        )
+        m2 = jax.numpy.asarray(2, jax.numpy.int32)
+        for bi, batch in enumerate(batch_iter()):
+            if bi not in redo:
+                continue
+            pred, _, logits, _ = inner(params, bn_state, batch.points, m2)
+            bcm, entries = _fold(batch, np.asarray(pred),
+                                 np.asarray(logits))
+            cm += bcm - batch_cms[bi]
+            for (room, pos), (_, p, _t, dump_row) in zip(
+                batch_slots[bi], entries
+            ):
+                room_preds[room][pos] = p
+                dumps[room][pos] = dump_row
 
     for room, rows in dumps.items():
         arr = np.vstack(rows)
@@ -221,6 +282,9 @@ def test(
         "confusion": cm,
         "iou": ious,
         "mean_iou": float(np.nanmean(ious)),
+        # dispatches re-scored by the amortized-guard retroactive repair
+        # (0 on healthy data or when the guard isn't amortized)
+        "band_repaired": len(redo),
     }
 
 

@@ -494,3 +494,64 @@ def test_cli_flag_parses():
 
     args = build_parser().parse_args(["--knn_band_guard_every", "4"])
     assert args.knn_band_guard_every == 4
+
+
+def test_eval_retroactive_repair_plumbing(tmp_path, monkeypatch):
+    """test()'s repair pass re-scores suspect batches and REPLACES their
+    metric contributions exactly: with a forced suspect list (banding
+    inert at this size, so mode-2 re-runs are bit-identical) the repaired
+    metrics and per-room dump files must equal the untouched run, proving
+    the deterministic batch re-enumeration hits the same rows."""
+    from dgcnn_tpu.eval.test import test as run_test
+    from dgcnn_tpu.train.checkpoint import save_checkpoint
+    from dgcnn_tpu.train.steps import init_train_state, make_optimizer
+    from dgcnn_tpu.utils.logging import IOStream
+
+    rng = np.random.default_rng(0)
+    data_dir = tmp_path / "rooms"
+    data_dir.mkdir()
+    for i in range(2):
+        pts = rng.random((200, 4)) * 30
+        labels = rng.integers(0, 3, (200, 1))
+        np.save(data_dir / f"Area_{i}.npy", np.hstack([pts, labels]))
+
+    cfg = DGCNNConfig(num_classes=3, num_features=4, k=6, emb_dims=32,
+                      knn_impl="pallas_capped", knn_band=0,
+                      knn_band_feature=256, knn_band_recall_guard=16,
+                      knn_band_guard_every=4)
+    tx = make_optimizer()
+    state = init_train_state(jax.random.key(0), cfg, tx)
+    save_checkpoint(str(tmp_path / "m.npz"), state)
+    io = IOStream(str(tmp_path / "log.txt"))
+    kwargs = dict(
+        data_dir=str(data_dir), num_points=32, num_classes=3,
+        num_features=4, emb_dims=32, test_batch_size=2, model_label="m",
+        model_root=str(tmp_path), knn_impl="pallas_capped", knn_band=0,
+        knn_band_feature=256, knn_band_recall_guard=16,
+        knn_band_guard_every=4, min_class_confidence=0.0,
+        validation_prop=0.5, seed=1, dump_logits=True,
+    )
+    ref = run_test(6, io, pred_dir=str(tmp_path / "pa"), **kwargs)
+    assert ref["band_repaired"] == 0
+
+    forced: dict = {"arm": True}
+
+    def fake_suspects(self):
+        if forced.pop("arm", None):
+            return [0, 1]
+        return []
+
+    monkeypatch.setattr(BandGuardScheduler, "suspect_dispatches",
+                        fake_suspects)
+    fix = run_test(6, io, pred_dir=str(tmp_path / "pb"), **kwargs)
+    assert not forced  # the repair pass consumed the forced list
+    assert fix["band_repaired"] == 2
+    assert fix["accuracy"] == ref["accuracy"]
+    assert fix["balanced_accuracy"] == ref["balanced_accuracy"]
+    np.testing.assert_array_equal(fix["confusion"], ref["confusion"])
+    np.testing.assert_array_equal(np.asarray(fix["iou"], float),
+                                  np.asarray(ref["iou"], float))
+    for f in sorted(p.name for p in (tmp_path / "pa").iterdir()):
+        a = np.loadtxt(tmp_path / "pa" / f)
+        b = np.loadtxt(tmp_path / "pb" / f)
+        np.testing.assert_array_equal(b, a)
