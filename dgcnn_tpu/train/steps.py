@@ -48,10 +48,10 @@ class BandGuardScheduler:
     healthy geometry guarded and unguarded dispatches are BIT-IDENTICAL;
     the in-graph fallback already protected the tripping batch itself).
     Loops that can re-run batches close that window RETROACTIVELY via
-    :meth:`suspect_dispatches` (predict() re-runs the suspect batches
-    with the full kernel and overwrites — every result is then either
-    probe-guarded itself, full-kernel, or bracketed by clean guards on
-    both sides).
+    :meth:`suspect_dispatches` (predict() AND eval's test() re-run the
+    suspect batches with the full kernel and overwrite — every result is
+    then either probe-guarded itself, full-kernel, or bracketed by clean
+    guards on both sides).
     ``rearm()`` re-trusts the band: training calls it each epoch because
     the learned features move between epochs.
 
